@@ -1,0 +1,57 @@
+"""Latent distributions (parity with ldm/modules/distributions/distributions.py:24-92)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class DiagonalGaussianDistribution:
+    """Moments packed as channels-last [mean | logvar] (B,H,W,2C)."""
+
+    def __init__(self, parameters, deterministic: bool = False):
+        self.parameters = parameters
+        self.mean, self.logvar = jnp.split(parameters, 2, axis=-1)
+        self.logvar = jnp.clip(self.logvar, -30.0, 20.0)
+        self.deterministic = deterministic
+        self.std = jnp.exp(0.5 * self.logvar)
+        self.var = jnp.exp(self.logvar)
+        if deterministic:
+            self.std = jnp.zeros_like(self.mean)
+            self.var = jnp.zeros_like(self.mean)
+
+    def sample(self, rng):
+        return self.mean + self.std * jax.random.normal(
+            rng, self.mean.shape, self.mean.dtype)
+
+    def kl(self, other: "DiagonalGaussianDistribution | None" = None):
+        if self.deterministic:
+            return jnp.array(0.0)
+        axes = tuple(range(1, self.mean.ndim))
+        if other is None:
+            return 0.5 * jnp.sum(
+                self.mean**2 + self.var - 1.0 - self.logvar, axis=axes)
+        return 0.5 * jnp.sum(
+            (self.mean - other.mean) ** 2 / other.var
+            + self.var / other.var - 1.0 - self.logvar + other.logvar,
+            axis=axes)
+
+    def nll(self, sample, dims=None):
+        if self.deterministic:
+            return jnp.array(0.0)
+        dims = dims or tuple(range(1, self.mean.ndim))
+        logtwopi = np.log(2.0 * np.pi)
+        return 0.5 * jnp.sum(
+            logtwopi + self.logvar + (sample - self.mean) ** 2 / self.var,
+            axis=dims)
+
+    def mode(self):
+        return self.mean
+
+
+def normal_kl(mean1, logvar1, mean2, logvar2):
+    """KL between two gaussians, broadcasting (distributions.py:77-92)."""
+    return 0.5 * (
+        -1.0 + logvar2 - logvar1 + jnp.exp(logvar1 - logvar2)
+        + ((mean1 - mean2) ** 2) * jnp.exp(-logvar2))

@@ -1,0 +1,156 @@
+"""Shape-contract tests for the core NN modules.
+
+Mirrors the reference's model-shape contract tests
+(test_mcl_integration.py:1-80 style): exact EncDiff tensor shapes —
+(B,16,16,3) latents, (B,20) scalar codes, (B,320) flat conditioning,
+(B,64,64,3) images — must flow through the TPU modules.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def test_timestep_embedding_matches_reference_form():
+    from encdiff_tpu.nn.layers import timestep_embedding
+
+    t = jnp.array([0, 10, 999])
+    emb = timestep_embedding(t, 64)
+    assert emb.shape == (3, 64)
+    # t=0: cos part = 1, sin part = 0
+    np.testing.assert_allclose(emb[0, :32], 1.0, atol=1e-6)
+    np.testing.assert_allclose(emb[0, 32:], 0.0, atol=1e-6)
+
+
+def test_torch_conv_shapes():
+    from encdiff_tpu.nn.layers import TorchConv
+
+    x = jnp.zeros((2, 64, 64, 3))
+    m = TorchConv(8, kernel_size=4, stride=2, padding=1)
+    params = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(params, x)
+    assert y.shape == (2, 32, 32, 8)  # torch (64+2-4)/2+1
+
+    # VAE asymmetric downsample: (0,1) pad, k=3 s=2 -> halves exactly
+    m2 = TorchConv(8, kernel_size=3, stride=2, padding=((0, 1), (0, 1)))
+    y2 = m2.apply(m2.init(jax.random.PRNGKey(0), x), x)
+    assert y2.shape == (2, 32, 32, 8)
+
+
+def test_unet_forward_shapes():
+    from encdiff_tpu.nn.unet import UNetModel
+
+    model = UNetModel(
+        image_size=16, in_channels=3, model_channels=32, out_channels=3,
+        num_res_blocks=1, attention_resolutions=[1, 2, 4],
+        channel_mult=[1, 2, 4, 4], num_heads=4, use_scale_shift_norm=True,
+        resblock_updown=True, use_spatial_transformer=True,
+        context_dim=16, latent_unit=20)
+    x = jnp.zeros((2, 16, 16, 3))
+    t = jnp.array([0, 500])
+    ctx = jnp.zeros((2, 320))  # flat (B, U*D) like the reference
+    variables = model.init(jax.random.PRNGKey(0), x, t, ctx)
+    y = model.apply(variables, x, t, ctx)
+    assert y.shape == (2, 16, 16, 3)
+    # zero_module head => initial output must be exactly zero
+    np.testing.assert_allclose(np.asarray(y), 0.0)
+
+
+def test_unet_attention_capture():
+    from encdiff_tpu.nn.unet import UNetModel
+
+    model = UNetModel(
+        image_size=16, in_channels=3, model_channels=32, out_channels=3,
+        num_res_blocks=1, attention_resolutions=[1],
+        channel_mult=[1, 2], num_heads=4, context_dim=16, latent_unit=20)
+    x = jnp.zeros((2, 16, 16, 3))
+    t = jnp.array([1, 2])
+    ctx = jnp.zeros((2, 20, 16))
+    variables = model.init(jax.random.PRNGKey(0), x, t, ctx)
+    y, aux = model.apply(variables, x, t, ctx, capture_attn=True,
+                         mutable=["attn_maps"])
+    maps = jax.tree.leaves(aux["attn_maps"])
+    assert len(maps) > 0
+    for m in maps:
+        # (B, heads, queries, 20 concept tokens)
+        assert m.shape[-1] == 20
+
+
+def test_encoder4_contract():
+    from encdiff_tpu.nn.encoder4 import Encoder4
+
+    enc = Encoder4(d=128, context_dim=16, latent_unit=20)
+    x = jnp.zeros((2, 64, 64, 3))
+    variables = enc.init(jax.random.PRNGKey(0), x)
+    # forward = warp(encoding(x)) -> (B, 320)
+    out = enc.apply(variables, x)
+    assert out.shape == (2, 320)
+    # encoding -> (B, 20) raw scalars
+    u = enc.apply(variables, x, method=Encoder4.encoding)
+    assert u.shape == (2, 20)
+    # warp re-tokenizes scalars -> (B, 320)
+    w = enc.apply(variables, u, method=Encoder4.warp)
+    assert w.shape == (2, 320)
+    # train mode mutates batch stats
+    out2, mut = enc.apply(variables, x, train=True, mutable=["batch_stats"])
+    assert "batch_stats" in mut
+
+
+def test_encoder4_warp_is_per_unit_independent():
+    """Each warp MLP must see only its own scalar (openaimodel_enc.py:1029-31)."""
+    from encdiff_tpu.nn.encoder4 import Encoder4
+
+    enc = Encoder4(d=16, context_dim=16, latent_unit=4)
+    u = jnp.array([[1.0, 2.0, 3.0, 4.0]])
+    variables = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    w1 = enc.apply(variables, u, method=Encoder4.warp).reshape(4, 16)
+    u2 = u.at[0, 0].set(-5.0)
+    w2 = enc.apply(variables, u2, method=Encoder4.warp).reshape(4, 16)
+    assert not np.allclose(w1[0], w2[0])        # unit 0 token changed
+    np.testing.assert_allclose(w1[1:], w2[1:])  # others untouched
+
+
+def test_vae_encoder_decoder_shapes():
+    from encdiff_tpu.nn.vae import Decoder, Encoder
+
+    # shapes3d_vq_4_16 ddconfig: ch=32, ch_mult=[1,2,4], 64->16
+    enc = Encoder(ch=32, ch_mult=(1, 2, 4), num_res_blocks=2, in_channels=3,
+                  resolution=64, z_channels=3, double_z=False)
+    x = jnp.zeros((2, 64, 64, 3))
+    ev = enc.init(jax.random.PRNGKey(0), x)
+    z = enc.apply(ev, x)
+    assert z.shape == (2, 16, 16, 3)
+
+    dec = Decoder(ch=32, out_ch=3, ch_mult=(1, 2, 4), num_res_blocks=2,
+                  in_channels=3, resolution=64, z_channels=3)
+    dv = dec.init(jax.random.PRNGKey(1), z)
+    xrec = dec.apply(dv, z)
+    assert xrec.shape == (2, 64, 64, 3)
+
+
+def test_vector_quantizer_straight_through():
+    from encdiff_tpu.nn.quantize import VectorQuantizer
+
+    vq = VectorQuantizer(n_embed=32, embed_dim=3)
+    z = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 4, 3))
+    variables = vq.init(jax.random.PRNGKey(1), z)
+    z_q, loss, (perp, _, idx) = vq.apply(variables, z)
+    assert z_q.shape == z.shape
+    assert idx.shape == (2, 4, 4)
+    assert float(loss) >= 0
+    assert 1.0 <= float(perp) <= 32.0
+
+    # straight-through: d z_q / d z == identity pathway
+    def f(z):
+        out, _, _ = vq.apply(variables, z)
+        return jnp.sum(out)
+
+    g = jax.grad(f)(z)
+    np.testing.assert_allclose(np.asarray(g), 1.0, atol=1e-6)
+
+    # quantized values are actual codebook rows
+    emb = np.asarray(variables["params"]["embedding"])
+    np.testing.assert_allclose(
+        np.asarray(z_q).reshape(-1, 3), emb[np.asarray(idx).reshape(-1)],
+        atol=1e-6)  # straight-through reassociation costs one f32 ulp of |z|
