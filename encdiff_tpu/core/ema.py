@@ -22,8 +22,11 @@ class EmaState(NamedTuple):
 
 
 def init(params: Any, use_num_updates: bool = True) -> EmaState:
+    # NB: must COPY, not alias — the shadow tree lives in a donated TrainState
+    # next to the params; aliased buffers make XLA reject the donation
+    # ("attempt to donate the same buffer twice").
     return EmaState(
-        params=jax.tree.map(jnp.asarray, params),
+        params=jax.tree.map(lambda x: jnp.array(x, copy=True), params),
         num_updates=jnp.asarray(0 if use_num_updates else -1, jnp.int32),
     )
 

@@ -167,7 +167,11 @@ def make_ddim_timesteps(
     num_ddim_timesteps: int,
     num_ddpm_timesteps: int,
 ) -> np.ndarray:
-    """Timestep subset selection (``diffusionmodules/util.py:73-88``)."""
+    """Timestep subset selection (``diffusionmodules/util.py:73-88``).
+
+    Requesting more DDIM steps than DDPM timesteps clamps to the full chain
+    (the reference crashes with a ZeroDivisionError here)."""
+    num_ddim_timesteps = min(num_ddim_timesteps, num_ddpm_timesteps)
     if ddim_discr_method == "uniform":
         c = num_ddpm_timesteps // num_ddim_timesteps
         ddim_timesteps = np.arange(0, num_ddpm_timesteps, c)

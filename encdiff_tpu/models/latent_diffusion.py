@@ -271,7 +271,12 @@ class LatentDiffusion(DDPM):
         Returns (loss, (loss_dict, new_batch_stats)).
         """
         t_rng, n_rng, mcl_rng = jax.random.split(rng, 3)
-        x = batch.astype(jnp.float32)
+        if jnp.issubdtype(batch.dtype, jnp.integer):
+            # loaders ship uint8 over PCIe; normalize on device (the
+            # reference's host-side ToTensor+Normalize, disdata.py:80-86)
+            x = batch.astype(jnp.float32) / 127.5 - 1.0
+        else:
+            x = batch.astype(jnp.float32)
         fs_vars = frozen["first_stage"]
 
         # frozen first-stage encode (no grad flows by construction: fs params
@@ -328,7 +333,10 @@ class LatentDiffusion(DDPM):
         """1/std(z) over the first batch when scale_by_std is set."""
         if not self.scale_by_std:
             return jnp.asarray(self.scale_factor, jnp.float32)
-        z = self.encode_first_stage(variables["first_stage"], batch)
+        if jnp.issubdtype(batch.dtype, jnp.integer):
+            batch = batch.astype(jnp.float32) / 127.5 - 1.0
+        z = self.encode_first_stage(variables["first_stage"],
+                                    batch.astype(jnp.float32))
         return 1.0 / jnp.maximum(jnp.std(z.reshape(-1)), 1e-8)
 
     # --- sampling ------------------------------------------------------------

@@ -206,6 +206,10 @@ class Decoder(nn.Module):
             return h
         h = GroupNorm(32, epsilon=1e-6, dtype=self.dtype, name="norm_out")(h)
         h = nonlinearity(h)
+        # sown for the GAN adaptive weight: grads of nll/g_loss wrt the
+        # conv_out kernel only need (dL/dxrec, this activation) —
+        # vqperceptual.py:86-94 without a second full backward
+        self.sow("intermediates", "pre_conv_out", h)
         h = TorchConv(self.out_ch, 3, padding=1, dtype=self.dtype,
                       name="conv_out")(h)
         if self.tanh_out:

@@ -1,0 +1,52 @@
+"""Checkpoint loading helpers for analysis scripts.
+
+Bridges the Trainer's orbax layout ({state, frozen} pytree, written by
+``harness.Trainer.save_checkpoint``) and reference torch ``.ckpt`` files
+(via ``core.torch_ldm_import``) into the flat ``variables`` dict the
+sampling/eval code consumes ({unet, cond, first_stage, ema}).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import numpy as np
+
+
+def load_model_variables(model, path: str) -> tuple[dict, float]:
+    """Returns (variables, scale_factor). ``path`` is either a native orbax
+    checkpoint directory or a torch .ckpt file."""
+    if os.path.isfile(path) and path.endswith(".ckpt"):
+        from encdiff_tpu.core.torch_ldm_import import load_torch_ldm_checkpoint
+
+        init = model.init_variables(jax.random.PRNGKey(0))
+        variables = load_torch_ldm_checkpoint(model, init, path)
+        out = {
+            "unet": variables["unet"],
+            "cond": variables.get("cond"),
+            "first_stage": variables.get("first_stage"),
+            "ema": None,
+        }
+        return out, float(model.scale_factor)
+
+    from encdiff_tpu.core.checkpoints import restore_pytree
+    from encdiff_tpu.train import loop as train_loop
+
+    optimizer = train_loop.build_optimizer(model, learning_rate=1e-4)
+    state, frozen = train_loop.create_train_state(
+        model, jax.random.PRNGKey(0), optimizer)
+    tree = restore_pytree(os.path.abspath(path),
+                          {"state": jax.device_get(state),
+                           "frozen": jax.device_get(frozen)})
+    state = tree["state"]
+    frozen = tree["frozen"]
+    variables = {
+        "unet": {"params": state.params["unet"]},
+        "cond": {"params": state.params["cond"],
+                 "batch_stats": state.batch_stats},
+        "first_stage": frozen["first_stage"],
+        "ema": state.ema.params if state.ema is not None else None,
+    }
+    return variables, float(np.asarray(state.scale_factor))

@@ -1,0 +1,451 @@
+"""CLI + trainer assembly: the ``main_val.py`` equivalent.
+
+Rebuild of the reference harness (``main_val.py:99-874``): argparse surface
+(-b/--base, -t/--train, -r/--resume, -s/--seed, -l/--logdir, --token_num,
+--scale_lr, devices), OmegaConf merge + dotlist overrides (`:585-587`),
+logdir naming with beta-schedule/token tags (`:616-626`), the LR scaling
+rule ``accum x ndev x bs x base_lr`` (`:834-838`), and the train/val loop
+with callbacks. Lightning's Trainer is replaced by an explicit loop over a
+jitted GSPMD train step on a ``data``-axis mesh; validation runs the
+on-device representation sweep + disentanglement metric battery
+(``main_val.py:38-96``) and drives best-metric checkpoints.
+
+Signal handling parity: SIGUSR1 checkpoints (``main_val.py:846-863``);
+KeyboardInterrupt saves ``last`` (SetupCallback behavior, `:332-336`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import glob
+import os
+import signal
+import sys
+import time
+from typing import Any
+
+import numpy as np
+
+
+def get_parser(**parser_kwargs):
+    """Argparse surface parity with main_val.py:99-211."""
+
+    def str2bool(v):
+        if isinstance(v, bool):
+            return v
+        if v.lower() in ("yes", "true", "t", "y", "1"):
+            return True
+        if v.lower() in ("no", "false", "f", "n", "0"):
+            return False
+        raise argparse.ArgumentTypeError("Boolean value expected.")
+
+    parser = argparse.ArgumentParser(**parser_kwargs)
+    parser.add_argument("-n", "--name", type=str, default="", nargs="?")
+    parser.add_argument("-r", "--resume", type=str, default="", nargs="?")
+    parser.add_argument("-b", "--base", nargs="*", metavar="base_config.yaml",
+                        default=[])
+    parser.add_argument("-t", "--train", type=str2bool, default=False,
+                        nargs="?", const=True)
+    parser.add_argument("--no-test", type=str2bool, default=False, nargs="?",
+                        const=True)
+    parser.add_argument("-p", "--project", type=str, default=None)
+    parser.add_argument("-d", "--debug", type=str2bool, default=False,
+                        nargs="?", const=True)
+    parser.add_argument("-s", "--seed", type=int, default=23)
+    parser.add_argument("-f", "--postfix", type=str, default="")
+    parser.add_argument("-l", "--logdir", type=str, default="logs")
+    parser.add_argument("--scale_lr", type=str2bool, default=True, nargs="?",
+                        const=True)
+    parser.add_argument("--token_num", type=int, default=None)
+    parser.add_argument("--gpus", type=str, default=None,
+                        help="accepted for parity; TPU devices are automatic")
+    parser.add_argument("--devices", type=int, default=None,
+                        help="number of mesh devices (default: all)")
+    parser.add_argument("--max_epochs", type=int, default=None)
+    parser.add_argument("--max_steps", type=int, default=None)
+    parser.add_argument("--accumulate_grad_batches", type=int, default=None)
+    parser.add_argument("--val_batches", type=int, default=None,
+                        help="cap validation representation sweep batches")
+    return parser
+
+
+def nondefault_trainer_args(opt):
+    return [k for k in ("max_epochs", "max_steps") if getattr(opt, k) is not None]
+
+
+def load_configs(bases, cli_overrides):
+    from encdiff_tpu.core.yamlcfg import OmegaConf
+
+    configs = [OmegaConf.load(b) for b in bases]
+    cli = OmegaConf.from_dotlist(cli_overrides)
+    return OmegaConf.merge(*configs, cli)
+
+
+def apply_token_num(config, token_num):
+    """--token_num rewires latent_unit everywhere (main_val.py:671-675)."""
+    if token_num is None:
+        return config
+    mp = config["model"]["params"]
+    mp["unet_config"]["params"]["latent_unit"] = token_num
+    cs = mp.get("cond_stage_config")
+    if isinstance(cs, dict) and "params" in cs:
+        if "latent_unit" in cs["params"]:
+            cs["params"]["latent_unit"] = token_num
+        if "latent_dim" in cs["params"]:
+            cs["params"]["latent_dim"] = token_num
+    fs = mp.get("first_stage_config")
+    if isinstance(fs, dict) and fs.get("params", {}).get("disentangled_dim"):
+        fs["params"]["disentangled_dim"] = token_num
+    return config
+
+
+def name_logdir(logdir, now, name, postfix, config, token_num):
+    """Logdir tagging parity (main_val.py:616-626): beta-schedule + token
+    count appended to the run name."""
+    tags = []
+    mp = config.get("model", {}).get("params", {})
+    if mp.get("beta_schedule"):
+        tags.append(str(mp["beta_schedule"]))
+    if token_num is not None:
+        tags.append(f"{token_num}tokens")
+    nowname = now + ("_" + name if name else "") + (
+        "_" + "_".join(tags) if tags else "") + postfix
+    return os.path.join(logdir, nowname), nowname
+
+
+class Trainer:
+    """Explicit training driver: one object wiring model, data, mesh,
+    callbacks and the metric battery."""
+
+    def __init__(self, config, lightning_config=None, logdir="logs/run",
+                 devices=None, seed=23, accumulate=1, scale_lr=True,
+                 val_batches=None):
+        import jax
+
+        from encdiff_tpu.core.config import instantiate_from_config, to_plain
+        from encdiff_tpu.parallel.mesh import make_mesh
+
+        self.config = config
+        self.lightning_config = lightning_config or {}
+        self.logdir = logdir
+        self.ckptdir = os.path.join(logdir, "checkpoints")
+        self.cfgdir = os.path.join(logdir, "configs")
+        self.seed = seed
+        self.val_batches = val_batches
+
+        model_cfg = to_plain(config["model"])
+        self.base_lr = float(model_cfg.get("base_learning_rate", 1e-4))
+        self.model = instantiate_from_config(
+            {"target": model_cfg["target"], "params": model_cfg["params"]})
+
+        data_cfg = to_plain(config["data"])
+        self.data = instantiate_from_config(data_cfg)
+        self.data.setup()
+        self.batch_size = self.data.batch_size
+
+        n_dev = devices or len(jax.devices())
+        self.mesh = make_mesh(n_data=n_dev)
+        self.n_devices = n_dev
+        self.accumulate = accumulate
+
+        # reference LR rule: accum x ndev x bs x base_lr (main_val.py:834-838)
+        if scale_lr:
+            self.learning_rate = (accumulate * n_dev * self.batch_size
+                                  * self.base_lr)
+        else:
+            self.learning_rate = self.base_lr
+        print(f"learning rate = {self.learning_rate:.3e} "
+              f"(accum {accumulate} x ndev {n_dev} x bs {self.batch_size} "
+              f"x base_lr {self.base_lr:.2e}, scale_lr={scale_lr})")
+
+        self._build_callbacks()
+
+    def _build_callbacks(self):
+        from encdiff_tpu.core.config import instantiate_from_config, to_plain
+        from encdiff_tpu.train import callbacks as cb
+
+        lc = to_plain(self.lightning_config) or {}
+        cb_cfgs = (lc.get("callbacks") or {})
+        self.image_logger = None
+        self.checkpoints: list[Any] = []
+        self.swap_cb = None
+        for name, cfg in cb_cfgs.items():
+            try:
+                obj = instantiate_from_config(cfg)
+            except Exception as e:
+                print(f"[harness] skipping callback {name}: {e}")
+                continue
+            if isinstance(obj, cb.ImageLogger):
+                self.image_logger = obj.bind(self.logdir)
+            elif isinstance(obj, cb.ModelCheckpoint):
+                self.checkpoints.append(obj.bind(self.ckptdir))
+            elif isinstance(obj, cb.SwapVisualizationCallback):
+                self.swap_cb = obj.bind(self.logdir)
+        # default monitor checkpoint (main_val.py:714-735)
+        monitor = getattr(self.model, "monitor", None)
+        if monitor and not any(c.monitor == monitor for c in self.checkpoints):
+            self.checkpoints.append(cb.ModelCheckpoint(
+                monitor=monitor, mode="min", save_top_k=3, save_last=True,
+                filename="{epoch:03d}-{step}").bind(self.ckptdir))
+        self.device_stats = cb.DeviceStatsCallback()
+        self.lr_monitor = cb.LearningRateMonitor()
+
+    # --- state persistence ---------------------------------------------------
+    def save_checkpoint(self, path):
+        from encdiff_tpu.core.checkpoints import save_pytree
+        import jax
+
+        tree = {"state": jax.device_get(self.state),
+                "frozen": jax.device_get(self.frozen)}
+        save_pytree(os.path.abspath(path), tree)
+
+    def restore_checkpoint(self, path):
+        from encdiff_tpu.core.checkpoints import restore_pytree
+        import jax
+
+        tree = restore_pytree(
+            os.path.abspath(path),
+            {"state": jax.device_get(self.state),
+             "frozen": jax.device_get(self.frozen)})
+        self.state = tree["state"]
+        self.frozen = tree["frozen"]
+
+    # --- the loops -----------------------------------------------------------
+    def fit(self, max_epochs=10, max_steps=None, log_every=50):
+        import jax
+
+        from encdiff_tpu.core.yamlcfg import OmegaConf
+        from encdiff_tpu.parallel.mesh import batch_sharding, replicated
+        from encdiff_tpu.train import callbacks as cb
+        from encdiff_tpu.train import loop as train_loop
+        from encdiff_tpu.train.callbacks import SetupCallback
+
+        SetupCallback(self.logdir, self.ckptdir, self.cfgdir,
+                      config=self.config,
+                      lightning_config=self.lightning_config,
+                      now=datetime.datetime.now().strftime("%Y-%m-%dT%H-%M-%S")
+                      ).setup()
+
+        model = self.model
+        optimizer = train_loop.build_optimizer(
+            model, self.learning_rate, accumulate=self.accumulate)
+        rng = jax.random.PRNGKey(self.seed)
+        rng, init_rng = jax.random.split(rng)
+        res = self._image_resolution()
+        self.state, self.frozen = train_loop.create_train_state(
+            model, init_rng, optimizer, image_resolution=res)
+        if getattr(self, "_resume_ckpt", None):
+            self.restore_checkpoint(self._resume_ckpt)
+        repl = replicated(self.mesh)
+        self.state = jax.device_put(self.state, repl)
+        self.frozen = jax.device_put(self.frozen, repl)
+        step_fn = train_loop.build_train_step(model, optimizer,
+                                              mesh=self.mesh)
+        encode_fn = train_loop.build_encode_step(model, mesh=self.mesh)
+        bsh = batch_sharding(self.mesh)
+
+        # SIGUSR1 -> checkpoint (main_val.py:846-863)
+        def melk(*args):
+            print("[harness] SIGUSR1: saving last checkpoint")
+            self.save_checkpoint(os.path.join(self.ckptdir, "last"))
+
+        try:
+            signal.signal(signal.SIGUSR1, melk)
+        except (ValueError, AttributeError):
+            pass
+
+        from encdiff_tpu.train.data import epoch_loader
+
+        train_ds = self.data._raw("train")
+        global_bs = self.batch_size
+        step = int(jax.device_get(self.state.step))
+        t0 = time.time()
+        try:
+            for epoch in range(max_epochs):
+                self.device_stats.on_epoch_start()
+                for batch in epoch_loader(train_ds, global_bs, shuffle=True,
+                                          seed=self.seed, sharding=bsh,
+                                          epoch=epoch):
+                    rng, srng = jax.random.split(rng)
+                    self.state, metrics = step_fn(self.state, self.frozen,
+                                                  batch, srng)
+                    step += 1
+                    if step % log_every == 0:
+                        m = {k: float(v) for k, v in
+                             jax.device_get(metrics).items()}
+                        dt = time.time() - t0
+                        print(f"step {step} epoch {epoch} "
+                              f"loss {m.get('train/loss', float('nan')):.4f} "
+                              f"({log_every / dt:.2f} it/s)")
+                        t0 = time.time()
+                    if self.image_logger is not None:
+                        self.image_logger.maybe_log(
+                            step, "train", self._log_images_fn(), batch,
+                            metrics=jax.device_get(metrics))
+                    for ck in self.checkpoints:
+                        if ck.every_n_train_steps:
+                            ck.maybe_save(self.save_checkpoint, step, epoch)
+                    if max_steps and step >= max_steps:
+                        raise StopIteration
+                self.device_stats.on_epoch_end(epoch)
+                val_metrics = self.validate(encode_fn, epoch, step)
+                for ck in self.checkpoints:
+                    ck.maybe_save(self.save_checkpoint, step, epoch,
+                                  metrics=val_metrics)
+        except StopIteration:
+            pass
+        except KeyboardInterrupt:
+            print("[harness] interrupted: saving last checkpoint")
+            self.save_checkpoint(os.path.join(self.ckptdir, "last"))
+            raise
+        self.save_checkpoint(os.path.join(self.ckptdir, "last"))
+        return self.state
+
+    def _image_resolution(self):
+        fs = self.model.first_stage_model
+        if getattr(fs, "ddconfig", None):
+            return fs.ddconfig["resolution"]
+        return 64
+
+    def _variables(self):
+        import jax
+
+        state = self.state
+        return {
+            "unet": {"params": state.params["unet"]},
+            "cond": {"params": state.params["cond"],
+                     "batch_stats": state.batch_stats},
+            "first_stage": self.frozen["first_stage"],
+            "ema": state.ema.params if state.ema is not None else None,
+        }
+
+    def _log_images_fn(self):
+        from encdiff_tpu.evalx import swap as swap_lib
+
+        model = self.model
+
+        def fn(batch, **kw):
+            import jax
+
+            sf = float(jax.device_get(self.state.scale_factor))
+            return swap_lib.log_images(
+                model, self._variables(), np.asarray(batch),
+                scale_factor=sf, **kw)
+
+        return fn
+
+    def validate(self, encode_fn, epoch: int, step: int) -> dict:
+        """Representation sweep + disentanglement metric battery
+        (ddpm_enc.py:378-425 -> main_val.py:38-96)."""
+        import jax
+
+        from encdiff_tpu.parallel.mesh import batch_sharding
+
+        model = self.model
+        if model.label_dataset is None:
+            return {}
+        val_ds = self.data._raw("validation") if \
+            "validation" in self.data.dataset_configs else \
+            self.data._raw("train")
+        bsh = batch_sharding(self.mesh)
+        bs = self.batch_size
+        n = len(val_ds)
+        steps = n // bs
+        if self.val_batches:
+            steps = min(steps, self.val_batches)
+        reps = []
+        gather = getattr(val_ds, "batch_uint8", None)
+        order = np.arange(n)
+        for i in range(steps):
+            idx = order[i * bs:(i + 1) * bs]
+            hb = gather(idx) if gather is not None else np.stack(
+                [np.asarray(val_ds[int(j)]["image"]) for j in idx])
+            u = encode_fn(self.state, jax.device_put(hb, bsh))
+            reps.append(np.asarray(jax.device_get(u)))
+        if not reps:
+            return {}
+        reps = np.concatenate(reps, axis=0)
+
+        from encdiff_tpu.evalx.eval_driver import eval_func
+
+        metrics_dir = os.path.join(self.logdir, "metrics_sin")
+        scores = eval_func(model.label_dataset, reps, metrics_dir, step)
+        out = {
+            "val/factor_vae_score": scores.get("factor_VAE", {}).get(
+                "eval_accuracy", 0.0),
+            "val/dci_disentanglement": scores.get("dci", {}).get(
+                "disentanglement", 0.0),
+            "val/mig": scores.get("MIG", {}).get("discrete_mig", 0.0),
+            "val/beta_vae": scores.get("beta_VAE", {}).get(
+                "eval_accuracy", 0.0),
+        }
+        print(f"[val epoch {epoch}] " + " ".join(
+            f"{k.split('/')[-1]}={v:.4f}" for k, v in out.items()))
+        if self.swap_cb is not None:
+            try:
+                self.swap_cb.on_validation_epoch_end(
+                    model, self._variables(), val_ds, epoch, step)
+            except Exception as e:
+                print(f"[harness] swap visualization failed: {e}")
+        return out
+
+
+def main(argv=None):
+    parser = get_parser()
+    opt, unknown = parser.parse_known_args(argv)
+    now = datetime.datetime.now().strftime("%Y-%m-%dT%H-%M-%S")
+
+    if opt.resume:
+        if not os.path.exists(opt.resume):
+            raise ValueError(f"Cannot find {opt.resume}")
+        if os.path.isfile(opt.resume):
+            logdir = os.path.dirname(os.path.dirname(opt.resume))
+            ckpt = opt.resume
+        else:
+            logdir = opt.resume.rstrip("/")
+            ckpt = os.path.join(logdir, "checkpoints", "last")
+        base_configs = sorted(glob.glob(
+            os.path.join(logdir, "configs", "*.yaml")))
+        opt.base = base_configs + opt.base
+        nowname = os.path.basename(logdir)
+    else:
+        ckpt = None
+        name = opt.name or (os.path.splitext(
+            os.path.basename(opt.base[0]))[0] if opt.base else "")
+        logdir = None
+        nowname = None
+
+    config = load_configs(opt.base, unknown)
+    config = apply_token_num(config, opt.token_num)
+    lightning_config = config.pop("lightning", {})
+
+    if logdir is None:
+        logdir, nowname = name_logdir(opt.logdir, now, name, opt.postfix,
+                                      config, opt.token_num)
+
+    np.random.seed(opt.seed)
+
+    trainer_cfg = dict(lightning_config.get("trainer", {})) \
+        if lightning_config else {}
+    accumulate = (opt.accumulate_grad_batches
+                  or trainer_cfg.get("accumulate_grad_batches") or 1)
+    max_epochs = opt.max_epochs or trainer_cfg.get("max_epochs", 10)
+
+    trainer = Trainer(config, lightning_config, logdir=logdir,
+                      devices=opt.devices, seed=opt.seed,
+                      accumulate=accumulate, scale_lr=opt.scale_lr,
+                      val_batches=opt.val_batches)
+    if ckpt:
+        print(f"[harness] resuming from {ckpt}")
+        # state exists only after fit() builds it; restore inside fit via
+        # a pre-hook:
+        trainer._resume_ckpt = ckpt
+
+    if opt.train:
+        trainer.fit(max_epochs=max_epochs, max_steps=opt.max_steps)
+    return trainer
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,191 @@
+"""The jitted LDM training loop: optimizer, EMA, scale-by-std, sharding.
+
+TPU-native replacement for the reference's Lightning training plumbing
+(``ddpm_enc.py:360-401`` training_step/on_train_batch_end,
+``:1598-1648`` configure_optimizers, ``main_val.py:834-838`` LR scaling).
+Everything Lightning spreads across framework hooks — forward, backward,
+optimizer step, EMA update, LR schedule, grad accumulation, DDP all-reduce —
+is ONE XLA program here: ``build_train_step`` returns a jitted function whose
+gradient all-reduce is inserted by GSPMD because the batch is sharded over
+the mesh ``data`` axis while params/grads are replicated.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from encdiff_tpu.core import ema as ema_lib
+from encdiff_tpu.core.config import instantiate_from_config, to_plain
+from encdiff_tpu.core.lr_scheduler import as_optax_schedule
+from encdiff_tpu.parallel.mesh import batch_sharding, replicated
+
+
+def _as_images(batch):
+    """uint8 device batches -> [-1,1] float32 (on-device normalize)."""
+    if jnp.issubdtype(batch.dtype, jnp.integer):
+        return batch.astype(jnp.float32) / 127.5 - 1.0
+    return batch.astype(jnp.float32)
+
+
+class TrainState(NamedTuple):
+    """Carry for the jitted train step. A pure pytree (orbax-serializable)."""
+
+    step: jnp.ndarray                 # int32 global step
+    params: Any                       # {"unet","cond"[,"logvar"][,"mcl"]}
+    batch_stats: Any                  # cond-stage BatchNorm running stats
+    opt_state: Any
+    ema: ema_lib.EmaState | None      # EMA over the unet subtree only
+    scale_factor: jnp.ndarray         # f32 scalar (scale_by_std fills step 0)
+
+
+def scaled_learning_rate(base_lr: float, global_batch: int, ngpu: int = 1,
+                         accumulate: int = 1) -> float:
+    """Reference LR scaling rule: accum x ndev x bs x base_lr
+    (``main_val.py:834-838``). ``global_batch`` here is the per-device batch
+    in the reference's convention; we pass per-device bs and mesh size."""
+    return accumulate * ngpu * global_batch * base_lr
+
+
+def build_optimizer(model, learning_rate: float, accumulate: int = 1):
+    """AdamW + optional reference LR-lambda schedule
+    (``ddpm_enc.py:1598-1648``: torch.optim.AdamW + LambdaLR)."""
+    if getattr(model, "scheduler_config", None) is not None:
+        sched_obj = instantiate_from_config(to_plain(model.scheduler_config))
+        lr = as_optax_schedule(sched_obj, learning_rate)
+    else:
+        lr = learning_rate
+    tx = optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=1e-2)
+    if accumulate > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulate)
+    return tx
+
+
+def create_train_state(model, rng, optimizer, image_resolution: int = 64,
+                       ema_decay: float = 0.9999) -> tuple[TrainState, Any]:
+    """Init params + opt state. Returns (state, frozen) where ``frozen`` holds
+    the first-stage variables (never optimized, passed alongside the state)."""
+    variables = model.init_variables(rng, image_resolution=image_resolution)
+    trainable = {"unet": variables["unet"]["params"]}
+    batch_stats = {}
+    if "cond" in variables:
+        trainable["cond"] = variables["cond"]["params"]
+        batch_stats = variables["cond"].get("batch_stats", {})
+    if model.learn_logvar:
+        trainable["logvar"] = jnp.asarray(model.logvar)
+    if "mcl" in variables:
+        trainable["mcl"] = variables["mcl"]
+    opt_state = optimizer.init(trainable)
+    ema = ema_lib.init(trainable["unet"]) if model.use_ema else None
+    state = TrainState(
+        step=jnp.asarray(0, jnp.int32),
+        params=trainable,
+        batch_stats=batch_stats,
+        opt_state=opt_state,
+        ema=ema,
+        scale_factor=jnp.asarray(model.scale_factor, jnp.float32),
+    )
+    frozen = {"first_stage": variables["first_stage"]}
+    return state, frozen
+
+
+def build_train_step(model, optimizer, mesh=None, ema_decay: float = 0.9999,
+                     donate: bool = True):
+    """Returns ``train_step(state, frozen, batch, rng) -> (state, metrics)``.
+
+    - scale_by_std: on global step 0, scale_factor <- 1/std(encode(batch))
+      (reference ``on_train_batch_start``, ``ddpm_enc.py:650-660``), folded
+      into the same XLA program via ``lax.cond``.
+    - EMA update on the unet subtree after the optimizer step
+      (``ddpm_enc.py:399-401`` on_train_batch_end).
+    - With a mesh: batch sharded over ``data``, state replicated; GSPMD
+      emits the gradient all-reduce (the reference's NCCL allreduce).
+    """
+
+    def train_step(state: TrainState, frozen, batch, rng):
+        if model.scale_by_std:
+            sf = jax.lax.cond(
+                state.step == 0,
+                lambda: model.compute_scale_factor(frozen, batch),
+                lambda: state.scale_factor)
+        else:
+            sf = state.scale_factor
+
+        frozen_in = {"first_stage": frozen["first_stage"],
+                     "cond_batch_stats": state.batch_stats}
+        grad_fn = jax.value_and_grad(
+            lambda p: model.loss_fn(p, frozen_in, batch, rng, sf, train=True),
+            has_aux=True)
+        (loss, (loss_dict, new_stats)), grads = grad_fn(state.params)
+
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        ema = state.ema
+        if ema is not None:
+            ema = ema_lib.update(ema, params["unet"], decay=ema_decay)
+
+        metrics = dict(loss_dict)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = TrainState(
+            step=state.step + 1, params=params, batch_stats=new_stats,
+            opt_state=opt_state, ema=ema, scale_factor=sf)
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+    repl = replicated(mesh)
+    bsh = batch_sharding(mesh)
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, repl, bsh, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def build_eval_step(model, mesh=None):
+    """validation_step equivalent (``ddpm_enc.py:378-390``): returns the val
+    loss dict plus the (B, latent_unit) raw scalars used by the
+    disentanglement eval driver."""
+
+    def eval_step(state: TrainState, frozen, batch):
+        frozen_in = {"first_stage": frozen["first_stage"],
+                     "cond_batch_stats": state.batch_stats}
+        rng = jax.random.PRNGKey(0)  # val loss uses fixed noise stream
+        _, (loss_dict, _) = model.loss_fn(
+            state.params, frozen_in, batch, rng, state.scale_factor,
+            train=False)
+        cond_vars = {"params": state.params["cond"],
+                     "batch_stats": state.batch_stats}
+        u = model.cond_encoding(cond_vars, _as_images(batch))
+        return loss_dict, u
+
+    if mesh is None:
+        return jax.jit(eval_step)
+    repl = replicated(mesh)
+    bsh = batch_sharding(mesh)
+    return jax.jit(eval_step, in_shardings=(repl, repl, bsh),
+                   out_shardings=(repl, bsh))
+
+
+def build_encode_step(model, mesh=None):
+    """Batched representation extraction for the metric suite: images ->
+    (B, latent_unit) scalars, on-device (SURVEY.md §3.2 TPU plan)."""
+
+    def encode(state: TrainState, batch):
+        cond_vars = {"params": state.params["cond"],
+                     "batch_stats": state.batch_stats}
+        return model.cond_encoding(cond_vars, _as_images(batch))
+
+    if mesh is None:
+        return jax.jit(encode)
+    repl = replicated(mesh)
+    bsh = batch_sharding(mesh)
+    return jax.jit(encode, in_shardings=(repl, bsh), out_shardings=bsh)

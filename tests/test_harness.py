@@ -1,0 +1,113 @@
+"""End-to-end harness smoke: config YAML -> Trainer -> 2 jitted train steps
+on the 8-device CPU mesh, with callbacks, checkpoint save, and logdir layout
+(the reference's `python main_val.py -b cfg -t` path, main_val.py:585-874)."""
+
+import os
+
+import numpy as np
+import yaml
+
+
+def _tiny_cfg(tmp_path):
+    cfg = {
+        "model": {
+            "base_learning_rate": 1.0e-4,
+            "target": "encdiff_tpu.models.latent_diffusion.LatentDiffusion",
+            "params": {
+                "linear_start": 0.0015, "linear_end": 0.0155,
+                "timesteps": 100, "loss_type": "l1",
+                "image_size": 8, "channels": 3, "log_every_t": 50,
+                "cond_stage_trainable": True, "concat_mode": False,
+                "scale_by_std": True, "conditioning_key": "crossattn",
+                "monitor": "train/loss_simple",
+                "unet_config": {
+                    "target": "encdiff_tpu.nn.unet.UNetModel",
+                    "params": {"image_size": 8, "in_channels": 3,
+                               "out_channels": 3, "model_channels": 32,
+                               "attention_resolutions": [1],
+                               "num_res_blocks": 1, "channel_mult": [1, 2],
+                               "num_heads": 4, "use_scale_shift_norm": True,
+                               "resblock_updown": True,
+                               "use_spatial_transformer": True,
+                               "context_dim": 16, "latent_unit": 10}},
+                "first_stage_config": {
+                    "target": "encdiff_tpu.models.autoencoder.VQModelInterface",
+                    "params": {"embed_dim": 3, "n_embed": 64,
+                               "use_disentangled_concat": True,
+                               "disentangled_dim": 10,
+                               "ddconfig": {"double_z": False,
+                                            "z_channels": 3,
+                                            "resolution": 16,
+                                            "in_channels": 3, "out_ch": 3,
+                                            "ch": 32, "ch_mult": [1, 2],
+                                            "num_res_blocks": 1,
+                                            "attn_resolutions": [],
+                                            "dropout": 0.0},
+                               "lossconfig": {"target": "torch.nn.Identity"}}},
+                "cond_stage_config": {
+                    "target": "encdiff_tpu.nn.encoder4.Encoder4",
+                    "params": {"d": 32, "context_dim": 16,
+                               "latent_unit": 10}},
+            },
+        },
+        "data": {
+            "target": "encdiff_tpu.train.data.DataModuleFromConfig",
+            "params": {"batch_size": 8, "wrap": True,
+                       "train": {"target": "encdiff_tpu.data.datasets.SyntheticData",
+                                 "params": {"length": 32, "image_size": 16}},
+                       "validation": {"target": "encdiff_tpu.data.datasets.SyntheticData",
+                                      "params": {"length": 16,
+                                                 "image_size": 16}}}},
+        "lightning": {
+            "callbacks": {
+                "image_logger": {
+                    "target": "encdiff_tpu.train.callbacks.ImageLogger",
+                    "params": {"batch_frequency": 1000, "max_images": 4,
+                               "increase_log_steps": False}}},
+            "trainer": {"max_epochs": 1},
+        },
+    }
+    path = os.path.join(tmp_path, "tiny.yaml")
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    return path
+
+
+def test_harness_end_to_end(tmp_path):
+    from encdiff_tpu.train import harness
+
+    cfg_path = _tiny_cfg(str(tmp_path))
+    logdir = os.path.join(str(tmp_path), "logs")
+    trainer = harness.main([
+        "-b", cfg_path, "-t", "true", "--max_steps", "2",
+        "-l", logdir, "-s", "7"])
+    assert int(np.asarray(trainer.state.step)) == 2
+    # logdir layout: configs dumped, checkpoints written
+    run_dir = trainer.logdir
+    assert os.path.isdir(os.path.join(run_dir, "configs"))
+    cfgs = os.listdir(os.path.join(run_dir, "configs"))
+    assert any(c.endswith("-project.yaml") for c in cfgs)
+    assert os.path.isdir(os.path.join(run_dir, "checkpoints", "last"))
+    # LR scaling rule: accum(1) x ndev(8) x bs(8) x base_lr(1e-4)
+    assert np.isclose(trainer.learning_rate, 8 * 8 * 1e-4)
+
+
+def test_token_num_rewiring(tmp_path):
+    from encdiff_tpu.train.harness import apply_token_num, load_configs
+
+    cfg_path = _tiny_cfg(str(tmp_path))
+    config = load_configs([cfg_path], [])
+    config = apply_token_num(config, 12)
+    assert config["model"]["params"]["unet_config"]["params"]["latent_unit"] == 12
+    assert config["model"]["params"]["cond_stage_config"]["params"]["latent_unit"] == 12
+    assert config["model"]["params"]["first_stage_config"]["params"]["disentangled_dim"] == 12
+
+
+def test_dotlist_override(tmp_path):
+    from encdiff_tpu.train.harness import load_configs
+
+    cfg_path = _tiny_cfg(str(tmp_path))
+    config = load_configs([cfg_path], ["model.base_learning_rate=3e-5",
+                                       "data.params.batch_size=16"])
+    assert float(config["model"]["base_learning_rate"]) == 3e-5
+    assert int(config["data"]["params"]["batch_size"]) == 16

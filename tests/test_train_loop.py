@@ -1,0 +1,117 @@
+"""Train-loop + data-pipeline tests on a virtual 8-device CPU mesh
+(SURVEY.md §4 note 5: real multi-device semantics on one host)."""
+
+import numpy as np
+import pytest
+
+
+def _tiny_model():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import _build_model
+
+    return _build_model(model_channels=32, num_res_blocks=1, vq_ch=32,
+                        channel_mult=(1, 2), vq_ch_mult=(1, 2),
+                        resolution=32)
+
+
+@pytest.fixture(scope="module")
+def trained_bits():
+    import jax
+
+    from encdiff_tpu.train import loop as train_loop
+
+    model = _tiny_model()
+    optimizer = train_loop.build_optimizer(model, learning_rate=1e-4)
+    state, frozen = train_loop.create_train_state(
+        model, jax.random.PRNGKey(0), optimizer, image_resolution=32)
+    return model, optimizer, state, frozen
+
+
+def test_single_device_train_step(trained_bits):
+    import jax
+
+    from encdiff_tpu.train import loop as train_loop
+
+    model, optimizer, state, frozen = trained_bits
+    step_fn = train_loop.build_train_step(model, optimizer, donate=False)
+    batch = np.random.RandomState(0).randint(
+        0, 256, size=(4, 32, 32, 3), dtype=np.uint8)
+    s1, m1 = step_fn(state, frozen, batch, jax.random.PRNGKey(1))
+    assert int(s1.step) == 1
+    assert np.isfinite(float(m1["train/loss"]))
+    # scale_by_std fired on step 0: scale_factor is 1/std(z), not the init 1.0
+    assert float(s1.scale_factor) != pytest.approx(1.0)
+    s2, m2 = step_fn(s1, frozen, batch, jax.random.PRNGKey(2))
+    assert int(s2.step) == 2
+    # scale factor frozen after step 0
+    assert float(s2.scale_factor) == pytest.approx(float(s1.scale_factor))
+    # EMA shadow moved toward params
+    du = jax.tree_util.tree_leaves(
+        jax.tree.map(lambda a, b: float(np.abs(a - b).max()),
+                     s2.ema.params, s2.params["unet"]))
+    assert max(du) >= 0.0
+
+
+def test_multichip_matches_single_chip(trained_bits):
+    """DP over 8 virtual devices must reproduce the single-device loss for
+    the same global batch (the reference's DDP-equivalence check)."""
+    import jax
+
+    from encdiff_tpu.parallel.mesh import make_mesh, replicated, shard_batch
+    from encdiff_tpu.train import loop as train_loop
+
+    model, optimizer, state, frozen = trained_bits
+    batch = np.random.RandomState(1).randint(
+        0, 256, size=(8, 32, 32, 3), dtype=np.uint8)
+    rng = jax.random.PRNGKey(3)
+
+    f1 = train_loop.build_train_step(model, optimizer, donate=False)
+    _, m_single = f1(state, frozen, batch, rng)
+
+    mesh = make_mesh(n_data=8)
+    repl = replicated(mesh)
+    state_r = jax.device_put(state, repl)
+    frozen_r = jax.device_put(frozen, repl)
+    f8 = train_loop.build_train_step(model, optimizer, mesh=mesh, donate=False)
+    _, m_multi = f8(state_r, frozen_r, shard_batch(batch, mesh), rng)
+
+    np.testing.assert_allclose(float(m_single["train/loss"]),
+                               float(m_multi["train/loss"]), rtol=2e-4)
+
+
+def test_epoch_loader_and_datamodule():
+    from encdiff_tpu.data.datasets import SyntheticData
+    from encdiff_tpu.train.data import (DataModuleFromConfig, epoch_loader,
+                                        infinite_loader)
+
+    ds = SyntheticData(length=64, image_size=8, seed=0)
+    batches = list(epoch_loader(ds, 16, shuffle=True, seed=0))
+    assert len(batches) == 4
+    assert batches[0].shape == (16, 8, 8, 3)
+    assert str(batches[0].dtype) == "uint8"
+
+    # reshuffled across epochs
+    it = infinite_loader(ds, 16, seed=0)
+    e0 = np.asarray(next(it))
+    for _ in range(3):
+        next(it)
+    e1 = np.asarray(next(it))
+    assert not np.array_equal(e0, e1)
+
+    dm = DataModuleFromConfig(
+        batch_size=8,
+        train={"target": "encdiff_tpu.data.datasets.SyntheticData",
+               "params": {"length": 32, "image_size": 8}},
+        validation={"target": "encdiff_tpu.data.datasets.SyntheticData",
+                    "params": {"length": 16, "image_size": 8}},
+        wrap=True)
+    dm.setup()
+    tb = list(dm.train_loader())
+    vb = list(dm.val_loader())
+    assert len(tb) == 4 and len(vb) == 2
+    # __getitem__ parity: dict with normalized HWC image
+    item = dm.datasets["train"][0]
+    assert item["image"].shape == (8, 8, 3)
+    assert -1.0 <= item["image"].min() and item["image"].max() <= 1.0
