@@ -24,6 +24,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compilation cache: first compile over the remote-compile tunnel
+# is minutes-slow; subsequent bench runs reuse it
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_comp_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
 BATCH = int(os.environ.get("BENCH_BATCH", "128"))
 WARMUP = 3
 ITERS = int(os.environ.get("BENCH_ITERS", "20"))
@@ -70,7 +76,7 @@ def main():
     vs = steps_per_s / prev if prev else 1.0
 
     print(json.dumps({
-        "metric": "encdiff_shapes3d_train_step_throughput_bs128",
+        "metric": f"encdiff_shapes3d_train_step_throughput_bs{BATCH}",
         "value": round(steps_per_s, 3),
         "unit": "train_steps/sec/chip",
         "vs_baseline": round(vs, 3),

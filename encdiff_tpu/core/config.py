@@ -37,6 +37,20 @@ TARGET_ALIASES: dict[str, str] = {
         "encdiff_tpu.nn.encoder4.Encoder4",
     "ldm.modules.encoders.slot_attn.MultiHeadSTEVESA":
         "encdiff_tpu.nn.slot_attn.MultiHeadSTEVESA",
+    "ldm.modules.encoders.modules.ClassEmbedder":
+        "encdiff_tpu.nn.encoders.ClassEmbedder",
+    "ldm.modules.encoders.modules.TransformerEmbedder":
+        "encdiff_tpu.nn.encoders.TransformerEmbedder",
+    "ldm.modules.encoders.modules.BERTEmbedder":
+        "encdiff_tpu.nn.encoders.BERTEmbedder",
+    "ldm.modules.encoders.modules.SpatialRescaler":
+        "encdiff_tpu.nn.encoders.SpatialRescaler",
+    "ldm.modules.encoders.modules.FrozenCLIPTextEmbedder":
+        "encdiff_tpu.nn.encoders.FrozenCLIPTextEmbedder",
+    "ldm.modules.encoders.modules.FrozenClipImageEmbedder":
+        "encdiff_tpu.nn.encoders.FrozenClipImageEmbedder",
+    "ldm.models.diffusion.classifier.NoisyLatentImageClassifier":
+        "encdiff_tpu.models.classifier.NoisyLatentImageClassifier",
     # losses
     "torch.nn.Identity": "encdiff_tpu.losses.basic.IdentityLoss",
     "ldm.modules.losses.contperceptual.LPIPSWithDiscriminator":

@@ -57,8 +57,15 @@ class ArrayDataset:
         return out
 
     def batch_uint8(self, indices: np.ndarray) -> np.ndarray:
-        """Vectorized uint8 gather — the host side of the input pipeline."""
-        return self.images[indices]
+        """Vectorized uint8 gather — the host side of the input pipeline.
+        Uses the threaded C++ row gather (encdiff_tpu.native) when built;
+        numpy fancy indexing otherwise."""
+        try:
+            from encdiff_tpu.native import fast_gather
+
+            return fast_gather(self.images, indices)
+        except Exception:
+            return self.images[indices]
 
 
 def normalize_uint8(batch):

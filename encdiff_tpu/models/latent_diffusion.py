@@ -337,6 +337,7 @@ class LatentDiffusion(DDPM):
             batch = batch.astype(jnp.float32) / 127.5 - 1.0
         z = self.encode_first_stage(variables["first_stage"],
                                     batch.astype(jnp.float32))
+        z = z.astype(jnp.float32)  # std in f32 even under bf16 activations
         return 1.0 / jnp.maximum(jnp.std(z.reshape(-1)), 1e-8)
 
     # --- sampling ------------------------------------------------------------

@@ -25,12 +25,23 @@ from flax import linen as nn
 from encdiff_tpu.nn.layers import Dtype, GroupNorm, TorchConv, TorchDense
 
 
-def attention(q, k, v, scale: float, precision=None):
+def attention(q, k, v, scale: float, precision=None, use_pallas=None):
     """Multi-head scaled-dot-product attention on (B, H, N, D) tensors.
 
     Softmax in fp32 for bf16 stability; matmuls hit the MXU with
-    preferred fp32 accumulation.
+    preferred fp32 accumulation. On TPU the score/softmax/value chain runs
+    as one Pallas kernel (``nn.pallas.attention.attention_core``); the XLA
+    einsum path is kept for CPU, attention-map capture, and as the
+    reference (ENCDIFF_NO_PALLAS=1 disables the kernel).
     """
+    if use_pallas is None:
+        from encdiff_tpu.nn import pallas as pallas_pkg
+
+        use_pallas = pallas_pkg.enabled()
+    if use_pallas:
+        from encdiff_tpu.nn.pallas.attention import attention_core
+
+        return attention_core(q, k, v), None
     sim = jnp.einsum("bhid,bhjd->bhij", q, k,
                      preferred_element_type=jnp.float32) * scale
     attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1).astype(q.dtype)
@@ -67,7 +78,9 @@ class CrossAttention(nn.Module):
             b, n, _ = t.shape
             return t.reshape(b, n, h, self.dim_head).transpose(0, 2, 1, 3)
 
-        out, attn = attention(split_heads(q), split_heads(k), split_heads(v), scale)
+        # capture requires the probability tensor -> force the XLA path
+        out, attn = attention(split_heads(q), split_heads(k), split_heads(v),
+                              scale, use_pallas=False if capture else None)
         if capture:
             self.sow("attn_maps", "attn", attn,
                      init_fn=lambda: (), reduce_fn=lambda xs, x: xs + (x,))

@@ -1,0 +1,140 @@
+"""Legacy conditioning-encoder zoo (API-parity stubs + functional ports).
+
+Rebuild of ``ldm/modules/encoders/modules.py:12-202`` — none of these are
+referenced by shipped EncDiff configs (SURVEY.md C16 "skip"), but the
+constructor surface is kept so foreign LDM configs instantiate:
+
+- ``ClassEmbedder``: class-id -> embedding (functional flax port).
+- ``TransformerEmbedder`` / ``BERTEmbedder``: lucidrains x_transformer-style
+  token encoder — here a compact flax pre-LN transformer stack with learned
+  positional embeddings (the only part of ``x_transformer.py:215-641``
+  those classes exercise).
+- ``SpatialRescaler``: interpolate + optional 1x1 channel map.
+- ``FrozenCLIPTextEmbedder`` / ``FrozenClipImageEmbedder``: require CLIP
+  weights, unavailable in this image — constructors raise with a clear
+  message (documented non-goal).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from encdiff_tpu.nn.layers import Dtype, TorchConv, TorchDense
+
+
+class ClassEmbedder(nn.Module):
+    """(modules.py:21-33): label id -> (B, 1, embed_dim) context."""
+
+    embed_dim: int
+    n_classes: int = 1000
+    key: str = "class"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, batch, key=None):
+        key = key or self.key
+        c = batch[key] if isinstance(batch, dict) else batch
+        c = jnp.asarray(c).reshape(-1)
+        emb = nn.Embed(self.n_classes, self.embed_dim, dtype=self.dtype)(c)
+        return emb[:, None, :]
+
+
+class _TransformerLayer(nn.Module):
+    dim: int
+    heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.LayerNorm(dtype=jnp.float32)(x).astype(x.dtype)
+        h = nn.SelfAttention(num_heads=self.heads, dtype=self.dtype,
+                             deterministic=True)(h)
+        x = x + h
+        h = nn.LayerNorm(dtype=jnp.float32)(x).astype(x.dtype)
+        h = TorchDense(self.dim * 4, dtype=self.dtype)(h)
+        h = jax.nn.gelu(h, approximate=False)
+        h = TorchDense(self.dim, dtype=self.dtype)(h)
+        return x + h
+
+
+class TransformerEmbedder(nn.Module):
+    """Token ids -> contextual embeddings (modules.py:36-50)."""
+
+    n_embed: int
+    n_layer: int
+    vocab_size: int
+    max_seq_len: int = 77
+    heads: int = 8
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tokens):
+        b, n = tokens.shape
+        x = nn.Embed(self.vocab_size, self.n_embed, dtype=self.dtype)(tokens)
+        pos = self.param("pos_emb", nn.initializers.normal(0.02),
+                         (self.max_seq_len, self.n_embed))
+        x = x + pos[None, :n, :].astype(x.dtype)
+        for i in range(self.n_layer):
+            x = _TransformerLayer(self.n_embed, self.heads, dtype=self.dtype,
+                                  name=f"layer_{i}")(x)
+        return nn.LayerNorm(dtype=jnp.float32)(x).astype(x.dtype)
+
+    def encode(self, tokens):
+        return self(tokens)
+
+
+class BERTEmbedder(TransformerEmbedder):
+    """modules.py:80-103 — same stack; tokenization is the caller's concern
+    (the reference's BERTTokenizer needs huggingface, absent here)."""
+
+
+class SpatialRescaler(nn.Module):
+    """Interpolate by factor^n_stages + optional channel remap
+    (modules.py:106-135)."""
+
+    n_stages: int = 1
+    method: str = "bilinear"
+    multiplier: float = 0.5
+    in_channels: int = 3
+    out_channels: int | None = None
+    bias: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        assert self.method in ("nearest", "linear", "bilinear", "trilinear",
+                               "bicubic", "area")
+        method = {"area": "linear", "trilinear": "trilinear"}.get(
+            self.method, self.method)
+        for _ in range(self.n_stages):
+            b, h, w, c = x.shape
+            nh = max(1, int(h * self.multiplier))
+            nw = max(1, int(w * self.multiplier))
+            x = jax.image.resize(x, (b, nh, nw, c),
+                                 method="nearest" if method == "nearest"
+                                 else "bilinear")
+        if self.out_channels is not None:
+            x = TorchConv(self.out_channels, 1, use_bias=self.bias,
+                          dtype=self.dtype)(x)
+        return x
+
+    def encode(self, x):
+        return self(x)
+
+
+class FrozenCLIPTextEmbedder:
+    """modules.py:138-167 — requires CLIP weights (not shipped)."""
+
+    def __init__(self, *args, **kwargs):
+        raise NotImplementedError(
+            "FrozenCLIPTextEmbedder needs pretrained CLIP weights, which are "
+            "not available in this environment (documented non-goal — "
+            "SURVEY.md C16).")
+
+
+class FrozenClipImageEmbedder(FrozenCLIPTextEmbedder):
+    pass

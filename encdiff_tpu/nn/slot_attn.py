@@ -2,8 +2,9 @@
 
 TPU-native rebuild of ``ldm/modules/encoders/slot_attn.py``
 (MultiHeadSTEVESA:38-173, CartesianPositionalEmbedding:10-30). The
-reference's Python loop over corrector iterations becomes a ``lax.scan``;
-the GRU cell is flax's GRUCell applied over the flattened slot batch.
+corrector loop stays an unrolled fixed-count loop (3-7 iterations) so flax
+submodule calls trace cleanly; the GRU cell is flax's GRUCell applied over
+the flattened slot batch.
 
 Input convention is NHWC (the reference takes NCHW; the harness feeds HWC
 feature maps directly).
@@ -139,9 +140,12 @@ class MultiHeadSTEVESA(nn.Module):
                 self.norm_mlp(slots))))
             return slots, attn_vis
 
-        # corrector iterations as a scan (fixed count; carries slots)
-        slots, attns = jax.lax.scan(
-            iteration, slots, jnp.arange(self.num_iterations))
+        # corrector iterations: small fixed count (3-7) — unrolled python
+        # loop so flax module calls trace correctly (a lax.scan over a body
+        # with parameterized submodules leaks init tracers); XLA still sees
+        # one fused program.
+        for _ in range(self.num_iterations):
+            slots, _attn = iteration(slots, None)
         return slots
 
     def __call__(self, inputs, rng=None):

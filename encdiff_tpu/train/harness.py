@@ -213,6 +213,15 @@ class Trainer:
 
     # --- the loops -----------------------------------------------------------
     def fit(self, max_epochs=10, max_steps=None, log_every=50):
+        from encdiff_tpu.models.autoencoder import AutoencoderKL, VQModel
+
+        if isinstance(self.model, (VQModel, AutoencoderKL)):
+            return self.fit_vq(max_epochs=max_epochs, max_steps=max_steps,
+                               log_every=log_every)
+        return self.fit_ldm(max_epochs=max_epochs, max_steps=max_steps,
+                            log_every=log_every)
+
+    def fit_ldm(self, max_epochs=10, max_steps=None, log_every=50):
         import jax
 
         from encdiff_tpu.core.yamlcfg import OmegaConf
@@ -301,6 +310,119 @@ class Trainer:
             raise
         self.save_checkpoint(os.path.join(self.ckptdir, "last"))
         return self.state
+
+    def fit_vq(self, max_epochs=10, max_steps=None, log_every=50):
+        """First-stage VQ-GAN pretraining loop (autoencoder configs;
+        reference stack SURVEY.md §3.4)."""
+        import jax
+
+        from encdiff_tpu.parallel.mesh import batch_sharding, replicated
+        from encdiff_tpu.train import vq_trainer
+        from encdiff_tpu.train.callbacks import SetupCallback, save_image_grid
+        from encdiff_tpu.train.data import epoch_loader
+
+        SetupCallback(self.logdir, self.ckptdir, self.cfgdir,
+                      config=self.config,
+                      lightning_config=self.lightning_config,
+                      now=datetime.datetime.now().strftime(
+                          "%Y-%m-%dT%H-%M-%S")).setup()
+
+        model = self.model
+        loss_obj = model.loss
+        if loss_obj is None:
+            from encdiff_tpu.losses.gan import VQLPIPSWithDiscriminator
+
+            loss_obj = VQLPIPSWithDiscriminator(disc_start=0,
+                                                perceptual_weight=0.0)
+        gen_tx, disc_tx = vq_trainer.make_optimizers(
+            self.learning_rate, lr_g_factor=getattr(model, "lr_g_factor", 1.0),
+            accumulate=self.accumulate)
+        state = vq_trainer.create_vq_train_state(
+            model, loss_obj, jax.random.PRNGKey(self.seed), gen_tx, disc_tx)
+        repl = replicated(self.mesh)
+        state = jax.device_put(state, repl)
+        step_fn = vq_trainer.build_vq_train_step(model, loss_obj, gen_tx,
+                                                 disc_tx, mesh=self.mesh)
+        eval_fn = vq_trainer.build_vq_eval_step(model, loss_obj,
+                                                mesh=self.mesh)
+        bsh = batch_sharding(self.mesh)
+
+        self._vq_state = state
+        train_ds = self.data._raw("train")
+        step = 0
+        t0 = time.time()
+        try:
+            for epoch in range(max_epochs):
+                self.device_stats.on_epoch_start()
+                for batch in epoch_loader(train_ds, self.batch_size,
+                                          shuffle=True, seed=self.seed,
+                                          sharding=bsh, epoch=epoch):
+                    state, metrics = step_fn(state, batch)
+                    step += 1
+                    if step % log_every == 0:
+                        m = {k: float(v) for k, v in
+                             jax.device_get(metrics).items()}
+                        dt = time.time() - t0
+                        print(f"step {step} epoch {epoch} "
+                              f"rec {m.get('train/rec_loss', float('nan')):.4f} "
+                              f"disc {m.get('train/disc_loss', float('nan')):.4f} "
+                              f"({log_every / dt:.2f} it/s)")
+                        t0 = time.time()
+                    if self.image_logger is not None and \
+                            self.image_logger.check_frequency(step):
+                        x = np.asarray(jax.device_get(batch))[:8]
+                        xf = x.astype(np.float32) / 127.5 - 1.0 \
+                            if x.dtype == np.uint8 else x
+                        rec = np.asarray(model.reconstruct(
+                            {"params": jax.device_get(state.gen_params)}, xf))
+                        root = os.path.join(self.logdir, "images", "train")
+                        save_image_grid(xf, os.path.join(
+                            root, f"inputs_gs-{step:06}.png"))
+                        save_image_grid(rec, os.path.join(
+                            root, f"reconstructions_gs-{step:06}.png"))
+                    if max_steps and step >= max_steps:
+                        raise StopIteration
+                self.device_stats.on_epoch_end(epoch)
+                # validation rec loss drives the monitor checkpoints
+                val_ds = (self.data._raw("validation")
+                          if "validation" in self.data.dataset_configs
+                          else train_ds)
+                vals = []
+                for i, batch in enumerate(epoch_loader(
+                        val_ds, self.batch_size, shuffle=False,
+                        sharding=bsh)):
+                    if self.val_batches and i >= self.val_batches:
+                        break
+                    vals.append({k: float(v) for k, v in jax.device_get(
+                        eval_fn(state, batch)).items()})
+                if vals:
+                    val_metrics = {k: float(np.mean([v[k] for v in vals]))
+                                   for k in vals[0]}
+                    print(f"[val epoch {epoch}] rec_loss="
+                          f"{val_metrics.get('val/rec_loss', float('nan')):.4f}")
+                    self._vq_state = state
+                    for ck in self.checkpoints:
+                        ck.maybe_save(self._save_vq_checkpoint, step, epoch,
+                                      metrics=val_metrics)
+        except StopIteration:
+            pass
+        except KeyboardInterrupt:
+            print("[harness] interrupted: saving last checkpoint")
+            self._vq_state = state
+            self._save_vq_checkpoint(os.path.join(self.ckptdir, "last"))
+            raise
+        self._vq_state = state
+        self._save_vq_checkpoint(os.path.join(self.ckptdir, "last"))
+        self.state = state  # uniform access for callers/tests
+        return state
+
+    def _save_vq_checkpoint(self, path):
+        import jax
+
+        from encdiff_tpu.core.checkpoints import save_pytree
+
+        save_pytree(os.path.abspath(path),
+                    {"state": jax.device_get(self._vq_state)})
 
     def _image_resolution(self):
         fs = self.model.first_stage_model

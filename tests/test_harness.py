@@ -111,3 +111,52 @@ def test_dotlist_override(tmp_path):
                                        "data.params.batch_size=16"])
     assert float(config["model"]["base_learning_rate"]) == 3e-5
     assert int(config["data"]["params"]["batch_size"]) == 16
+
+
+def _tiny_vq_cfg(tmp_path):
+    cfg = {
+        "model": {
+            "base_learning_rate": 1.0e-4,
+            "target": "encdiff_tpu.models.autoencoder.VQModel",
+            "params": {
+                "embed_dim": 3, "n_embed": 64, "monitor": "val/rec_loss",
+                "ddconfig": {"double_z": False, "z_channels": 3,
+                             "resolution": 16, "in_channels": 3, "out_ch": 3,
+                             "ch": 32, "ch_mult": [1, 2],
+                             "num_res_blocks": 1, "attn_resolutions": [],
+                             "dropout": 0.0},
+                "lossconfig": {
+                    "target": "encdiff_tpu.losses.gan.VQLPIPSWithDiscriminator",
+                    "params": {"disc_start": 0, "disc_weight": 0.75,
+                               "codebook_weight": 1.0,
+                               "perceptual_weight": 0.0}}},
+        },
+        "data": {
+            "target": "encdiff_tpu.train.data.DataModuleFromConfig",
+            "params": {"batch_size": 8, "wrap": True,
+                       "train": {"target": "encdiff_tpu.data.datasets.SyntheticData",
+                                 "params": {"length": 32, "image_size": 16}},
+                       "validation": {"target": "encdiff_tpu.data.datasets.SyntheticData",
+                                      "params": {"length": 16,
+                                                 "image_size": 16}}}},
+        "lightning": {"trainer": {"max_epochs": 1,
+                                  "accumulate_grad_batches": 1}},
+    }
+    path = os.path.join(tmp_path, "tiny_vq.yaml")
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    return path
+
+
+def test_harness_vq_gan_end_to_end(tmp_path):
+    """Autoencoder config -> VQ-GAN two-optimizer loop via the same CLI
+    (reference `main.py --base configs/autoencoder/... -t`, SURVEY.md 3.4)."""
+    from encdiff_tpu.train import harness
+
+    cfg_path = _tiny_vq_cfg(str(tmp_path))
+    logdir = os.path.join(str(tmp_path), "logs")
+    trainer = harness.main([
+        "-b", cfg_path, "-t", "true", "--max_steps", "2",
+        "-l", logdir, "-s", "3", "--val_batches", "1"])
+    assert int(np.asarray(trainer.state.step)) == 2
+    assert os.path.isdir(os.path.join(trainer.logdir, "checkpoints", "last"))

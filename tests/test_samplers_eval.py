@@ -1,0 +1,199 @@
+"""Sampler + eval-surface tests: swap conditions, log_images battery, PLMS,
+slot attention, TAD/UDR/recon metrics, FID statistics."""
+
+import numpy as np
+import pytest
+
+
+def test_swap_conditions():
+    import jax.numpy as jnp
+
+    from encdiff_tpu.evalx.swap import swap_conditions
+
+    u = jnp.asarray(np.random.RandomState(0).randn(4, 6).astype(np.float32))
+    s = np.asarray(swap_conditions(u))
+    assert s.shape == (6, 4, 6)
+    for cdx in range(6):
+        # swapped factor takes sample 0's value everywhere
+        np.testing.assert_allclose(s[cdx, :, cdx], np.asarray(u)[0, cdx])
+        # other factors untouched
+        mask = np.arange(6) != cdx
+        np.testing.assert_allclose(s[cdx][:, mask], np.asarray(u)[:, mask])
+
+
+def test_plms_matches_ddim_shape_and_scale():
+    import jax
+    import jax.numpy as jnp
+
+    from encdiff_tpu.core.schedules import DDIMSchedule, DiffusionSchedule
+    from encdiff_tpu.diffusion.ddim import ddim_sample
+    from encdiff_tpu.diffusion.plms import plms_sample
+
+    sched = DiffusionSchedule.create(timesteps=50, beta_schedule="linear",
+                                     linear_start=0.0015, linear_end=0.0155)
+    dsched = DDIMSchedule.create(sched, 10, eta=0.0)
+
+    # denoiser that always predicts zero noise: x0_pred == x, both samplers
+    # must converge to a finite sample of the same scale
+    denoise = lambda x, t: jnp.zeros_like(x)
+    shape = (2, 8, 8, 3)
+    s_ddim, _ = ddim_sample(dsched, denoise, shape, jax.random.PRNGKey(0))
+    s_plms = plms_sample(dsched, denoise, shape, jax.random.PRNGKey(0))
+    assert s_plms.shape == shape
+    assert np.isfinite(np.asarray(s_plms)).all()
+    # with eps==0 both reduce to pure alpha-scaling of the same init noise
+    np.testing.assert_allclose(np.asarray(s_ddim), np.asarray(s_plms),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_slot_attention_shapes():
+    import jax
+
+    from encdiff_tpu.nn.slot_attn import MultiHeadSTEVESA
+
+    m = MultiHeadSTEVESA(num_iterations=2, num_slots=5, num_heads=2,
+                         input_size=16, out_size=8, slot_size=16,
+                         mlp_hidden_size=32, input_resolution=4)
+    x = jax.random.normal(jax.random.PRNGKey(0), (3, 4, 4, 16))
+    variables = m.init({"params": jax.random.PRNGKey(1),
+                        "slots": jax.random.PRNGKey(2)}, x)
+    out = m.apply(variables, x, rngs={"slots": jax.random.PRNGKey(3)})
+    assert out.shape == (3, 5, 8)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_tad_perfect_and_random():
+    from encdiff_tpu.evalx.tad import aurocs_all, tad_score
+
+    rs = np.random.RandomState(0)
+    n, d, a = 2000, 10, 5
+    z = rs.randn(n, d).astype(np.float32)
+    # attribute i is exactly thresholded latent i -> AUROC ~ 1
+    targ = (z[:, :a] > 0).astype(np.float32)
+    au = np.asarray(aurocs_all(z, targ))
+    assert au.shape == (a, d)
+    for i in range(a):
+        assert au[i, i] > 0.95, (i, au[i, i])
+    res = tad_score(z, targ)
+    assert res["attributes_captured"] == a
+    assert res["tad_score"] > 1.0  # a x (1.0 - ~0.5) gaps
+
+    # random labels -> no attribute captured
+    targ_rand = (rs.rand(n, a) > 0.5).astype(np.float32)
+    res_r = tad_score(z, targ_rand)
+    assert res_r["attributes_captured"] <= 1
+
+
+def test_udr_identical_vs_random_models():
+    from encdiff_tpu.evalx.udr import compute_udr
+
+    class _GT:
+        def sample_observations(self, b, rs):
+            return rs.randint(0, 1000, size=(b,))
+
+    rs = np.random.RandomState(0)
+    table_a = rs.randn(1000, 6).astype(np.float64)
+    perm = rs.permutation(6)
+    table_b = table_a[:, perm] * 2.0       # same factors, permuted/scaled
+    table_c = rs.randn(1000, 6)            # unrelated
+
+    fn_a = lambda obs: table_a[obs]
+    fn_b = lambda obs: table_b[obs]
+    fn_c = lambda obs: table_c[obs]
+
+    good = compute_udr(_GT(), [fn_a, fn_b], np.random.RandomState(1),
+                       batch_size=100, num_data_points=500,
+                       correlation_matrix="spearman")
+    bad = compute_udr(_GT(), [fn_a, fn_c], np.random.RandomState(1),
+                      batch_size=100, num_data_points=500,
+                      correlation_matrix="spearman")
+    assert min(good["model_scores"]) > max(bad["model_scores"])
+
+
+def test_ssim_psnr_mse():
+    import jax.numpy as jnp
+
+    from encdiff_tpu.evalx.recon import mse, psnr, ssim
+
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.rand(2, 32, 32, 3).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(ssim(x, x)), 1.0, atol=1e-5)
+    assert float(mse(x, x).max()) == 0.0
+    y = jnp.clip(x + 0.1, 0, 1)
+    s = np.asarray(ssim(x, y))
+    assert (s < 1.0).all() and (s > 0.2).all()
+    assert np.asarray(psnr(x, y)).mean() > 10
+
+
+def test_fid_statistics_and_distance():
+    from encdiff_tpu.evalx.fid import activation_statistics, frechet_distance
+
+    rs = np.random.RandomState(0)
+    a = rs.randn(500, 16)
+    b = rs.randn(500, 16) + 1.0
+    mu1, s1 = activation_statistics(a)
+    mu2, s2 = activation_statistics(b)
+    d_same = frechet_distance(mu1, s1, mu1, s1)
+    d_diff = frechet_distance(mu1, s1, mu2, s2)
+    assert abs(d_same) < 1e-6
+    assert d_diff > 10.0
+
+
+def test_log_images_battery():
+    """log_images on a tiny model: all requested keys present, finite."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import jax
+
+    from __graft_entry__ import _build_model
+    from encdiff_tpu.evalx.swap import log_images
+
+    model = _build_model(model_channels=32, num_res_blocks=1, vq_ch=32,
+                         channel_mult=(1, 2), vq_ch_mult=(1, 2),
+                         resolution=32)
+    variables = model.init_variables(jax.random.PRNGKey(0),
+                                     image_resolution=32)
+    v = {"unet": variables["unet"], "cond": variables["cond"],
+         "first_stage": variables["first_stage"], "ema": None}
+    batch = np.random.RandomState(0).randint(
+        0, 256, size=(2, 32, 32, 3), dtype=np.uint8)
+    log = log_images(model, v, batch, N=2, ddim_steps=5, sample=True,
+                     sample_swap=True, plot_diffusion_rows=True,
+                     inpaint=False, use_ema=False)
+    for k in ("inputs", "reconstruction", "diffusion_row", "samples",
+              "samples_swapping"):
+        assert k in log, k
+        assert np.isfinite(log[k]).all(), k
+    # swap output folds all 20 factors into the batch: (U*B, H, W, 3)
+    assert log["samples_swapping"].shape[0] == 20 * 2
+
+
+def test_attention_map_extraction():
+    """Cross-attn maps: one per attention layer, keys == latent_unit, rows
+    sum to 1 (the capability the reference breaks — SURVEY.md 2.5)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import jax
+
+    from __graft_entry__ import _build_model
+    from encdiff_tpu.evalx.attn_maps import cross_attention_maps_for_images
+
+    model = _build_model(model_channels=32, num_res_blocks=1, vq_ch=32,
+                         channel_mult=(1, 2), vq_ch_mult=(1, 2),
+                         resolution=32)
+    variables = model.init_variables(jax.random.PRNGKey(0),
+                                     image_resolution=32)
+    v = {"unet": variables["unet"], "cond": variables["cond"],
+         "first_stage": variables["first_stage"], "ema": None}
+    imgs = np.random.RandomState(0).randint(
+        0, 256, size=(2, 32, 32, 3), dtype=np.uint8)
+    maps, tokens, u = cross_attention_maps_for_images(model, v, imgs,
+                                                      t_value=100)
+    assert len(maps) >= 3  # cross-attn at several resolutions
+    for name, m in maps.items():
+        m = np.asarray(m)
+        assert m.shape[-1] == 20, name
+        np.testing.assert_allclose(m.sum(axis=-1), 1.0, atol=1e-4)
+    assert u.shape == (2, 20)

@@ -115,3 +115,44 @@ def test_epoch_loader_and_datamodule():
     item = dm.datasets["train"][0]
     assert item["image"].shape == (8, 8, 3)
     assert -1.0 <= item["image"].min() and item["image"].max() <= 1.0
+
+
+def test_mcl_train_step():
+    """MCL fine-tune path: higher-order grads through the frozen decoder
+    inside one jitted step (run_mcl parity — SURVEY.md 3.5); MCL params get
+    gradients, loss_dict carries loss_mcl + ratio."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import jax
+
+    from __graft_entry__ import _flagship_config
+    from encdiff_tpu.core.config import instantiate_from_config
+    from encdiff_tpu.train import loop as train_loop
+
+    cfg = _flagship_config(model_channels=32, num_res_blocks=1, vq_ch=32,
+                           channel_mult=(1, 2), vq_ch_mult=(1, 2),
+                           resolution=32)
+    cfg["params"].update({"use_mcl": True, "lambda_mcl": 0.05,
+                          "mcl_type": "infonce_mechgrad", "mcl_tau": 0.1,
+                          "mcl_sigma": 0.1, "mcl_neg_mode": "shuffle_u",
+                          "mcl_proj_dim": 32})
+    model = instantiate_from_config(cfg)
+    optimizer = train_loop.build_optimizer(model, learning_rate=1e-5)
+    state, frozen = train_loop.create_train_state(
+        model, jax.random.PRNGKey(0), optimizer, image_resolution=32)
+    assert "mcl" in state.params
+    step = train_loop.build_train_step(model, optimizer, donate=False)
+    batch = np.random.RandomState(0).randint(
+        0, 256, size=(4, 32, 32, 3), dtype=np.uint8)
+    s1, m1 = step(state, frozen, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m1["train/loss"]))
+    assert np.isfinite(float(m1["train/loss_mcl"]))
+    assert "train/mcl_diffusion_ratio" in m1
+    # MCL modules actually moved
+    import jax as _jax
+
+    dm = max(_jax.tree_util.tree_leaves(_jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        state.params["mcl"], s1.params["mcl"])))
+    assert dm > 0
