@@ -102,22 +102,26 @@ def _map_vae_tower(prefix: str, key: str) -> tuple[str, ...] | None:
     m = re.match(r"down\.(\d+)\.attn\.(\d+)\.(.*)", key)
     if m:
         return (f"down_{m.group(1)}_attn_{m.group(2)}",) + tuple(m.group(3).split("."))
-    m = re.match(r"down\.(\d+)\.downsample\.conv\.(.*)", key)
+    m = re.match(r"down\.(\d+)\.downsample\.conv\.?(.*)", key)
     if m:
-        return (f"down_{m.group(1)}_downsample", "conv") + tuple(m.group(2).split("."))
+        rest = tuple(m.group(2).split(".")) if m.group(2) else ()
+        return (f"down_{m.group(1)}_downsample", "conv") + rest
     m = re.match(r"up\.(\d+)\.block\.(\d+)\.(.*)", key)
     if m:
         return (f"up_{m.group(1)}_block_{m.group(2)}",) + tuple(m.group(3).split("."))
     m = re.match(r"up\.(\d+)\.attn\.(\d+)\.(.*)", key)
     if m:
         return (f"up_{m.group(1)}_attn_{m.group(2)}",) + tuple(m.group(3).split("."))
-    m = re.match(r"up\.(\d+)\.upsample\.conv\.(.*)", key)
+    m = re.match(r"up\.(\d+)\.upsample\.conv\.?(.*)", key)
     if m:
-        return (f"up_{m.group(1)}_upsample", "conv") + tuple(m.group(2).split("."))
+        rest = tuple(m.group(2).split(".")) if m.group(2) else ()
+        return (f"up_{m.group(1)}_upsample", "conv") + rest
     m = re.match(r"mid\.(block_\d|attn_\d)\.(.*)", key)
     if m:
         return (f"mid_{m.group(1)}",) + tuple(m.group(2).split("."))
     for simple in ("conv_in", "conv_out", "norm_out"):
+        if key == simple:
+            return (simple,)
         if key.startswith(simple + "."):
             return (simple,) + tuple(key[len(simple) + 1:].split("."))
     return None

@@ -179,7 +179,9 @@ def convert_torch_unet(sd: dict[str, np.ndarray], unet_params: dict,
             if name is None:
                 unexpected.append(k)
                 continue
-            if "attn" in name:
+            if name == "conv_in":  # input_blocks.0.0 is the stem conv
+                sub = ("Conv_0", pname)
+            elif "attn" in name:
                 sub = _map_spatial_transformer(rest)
             elif name.endswith(("_ds", "_us")) and rest.startswith(("op.", "conv.")):
                 # non-resblock Down/Upsample module

@@ -84,6 +84,19 @@ class SmallNORB(IndexBackedDataset):
                          observation_shape=(64, 64, 1))
 
 
+class SyntheticShapes(IndexBackedDataset):
+    """Procedural Shapes3D-style grid (encdiff_tpu/data/synthetic_shapes.py):
+    floor/wall/object hue, scale, shape, orientation."""
+
+    N = 27_648
+
+    def __init__(self, images=None):
+        if images is None:
+            images = np.arange(self.N)
+        super().__init__(images, [6, 6, 6, 4, 4, 8],
+                         observation_shape=(64, 64, 3))
+
+
 class DummyData(GroundTruthData):
     """Random-noise image dataset for metric tests (dummy_data.py:47-70)."""
 

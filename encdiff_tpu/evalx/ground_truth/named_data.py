@@ -16,6 +16,7 @@ _REGISTRY = {
     "dsprites": datasets.DSprites,
     "dsprites_full": datasets.DSprites,
     "smallnorb": datasets.SmallNORB,
+    "synthetic_shapes": datasets.SyntheticShapes,
     "dummy_data": datasets.DummyData,
 }
 

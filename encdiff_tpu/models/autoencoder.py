@@ -235,12 +235,56 @@ class VQModel:
         return variables
 
     def load_reference_checkpoint(self, variables, path):
-        """Ingest a torch Lightning .ckpt, incl. post_quant_conv widening
-        (autoencoder.py:91-137)."""
+        """Ingest a checkpoint: torch Lightning ``.ckpt`` (incl.
+        post_quant_conv widening, autoencoder.py:91-137) or a native orbax
+        directory written by the VQ-GAN trainer."""
+        import os
+
+        if os.path.isdir(path):
+            return self._load_native_checkpoint(variables, path)
         from encdiff_tpu.core.checkpoints import load_torch_vq_checkpoint
         return load_torch_vq_checkpoint(
             variables, path, ignore_keys=self.ignore_keys,
             use_disentangled_concat=self.use_disentangled_concat)
+
+    def _load_native_checkpoint(self, variables, path):
+        """Restore gen_params from an orbax VQTrainState dir; widens
+        post_quant_conv for disentangled-concat interfaces like the torch
+        surgery path."""
+        import os
+
+        import numpy as np
+
+        from encdiff_tpu.core.checkpoints import restore_pytree
+
+        tree = restore_pytree(os.path.abspath(path), None)
+        state = tree.get("state", tree)
+        gen = state["gen_params"] if "gen_params" in state else state
+        params = jax.tree.map(np.asarray, dict(variables["params"]))
+
+        def merge(dst, src, prefix=()):
+            for k, v in src.items():
+                if isinstance(v, dict):
+                    merge(dst.setdefault(k, {}), v, prefix + (k,))
+                else:
+                    cur = dst.get(k)
+                    if cur is not None and np.shape(cur) != np.shape(v):
+                        # post_quant_conv widening: keep loaded input rows,
+                        # leave the extra concat channels at their init
+                        if k == "kernel" and np.shape(cur)[2] > np.shape(v)[2]:
+                            cur = np.array(cur)
+                            cur[:, :, : np.shape(v)[2], :] = v
+                            dst[k] = cur
+                            continue
+                        raise ValueError(
+                            f"shape mismatch at {'/'.join(prefix + (k,))}: "
+                            f"{np.shape(v)} vs {np.shape(cur)}")
+                    dst[k] = np.asarray(v)
+
+        merge(params, jax.tree.map(np.asarray, gen))
+        out = dict(variables)
+        out["params"] = jax.tree.map(jnp.asarray, params)
+        return out
 
     # --- functional forward helpers -----------------------------------------
     def encode(self, variables, x):

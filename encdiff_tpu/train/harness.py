@@ -67,6 +67,9 @@ def get_parser(**parser_kwargs):
     parser.add_argument("--accumulate_grad_batches", type=int, default=None)
     parser.add_argument("--val_batches", type=int, default=None,
                         help="cap validation representation sweep batches")
+    parser.add_argument("--eval_metrics", type=str, default=None,
+                        help="comma list: beta_VAE,dci,MIG,factor_VAE")
+    parser.add_argument("--check_val_every_n_epoch", type=int, default=None)
     return parser
 
 
@@ -120,7 +123,8 @@ class Trainer:
 
     def __init__(self, config, lightning_config=None, logdir="logs/run",
                  devices=None, seed=23, accumulate=1, scale_lr=True,
-                 val_batches=None):
+                 val_batches=None, eval_metrics=None,
+                 check_val_every_n_epoch=1):
         import jax
 
         from encdiff_tpu.core.config import instantiate_from_config, to_plain
@@ -133,6 +137,8 @@ class Trainer:
         self.cfgdir = os.path.join(logdir, "configs")
         self.seed = seed
         self.val_batches = val_batches
+        self.eval_metrics = eval_metrics
+        self.check_val_every_n_epoch = max(1, check_val_every_n_epoch or 1)
 
         model_cfg = to_plain(config["model"])
         self.base_lr = float(model_cfg.get("base_learning_rate", 1e-4))
@@ -298,10 +304,12 @@ class Trainer:
                     if max_steps and step >= max_steps:
                         raise StopIteration
                 self.device_stats.on_epoch_end(epoch)
-                val_metrics = self.validate(encode_fn, epoch, step)
-                for ck in self.checkpoints:
-                    ck.maybe_save(self.save_checkpoint, step, epoch,
-                                  metrics=val_metrics)
+                if (epoch + 1) % self.check_val_every_n_epoch == 0 \
+                        or epoch == max_epochs - 1:
+                    val_metrics = self.validate(encode_fn, epoch, step)
+                    for ck in self.checkpoints:
+                        ck.maybe_save(self.save_checkpoint, step, epoch,
+                                      metrics=val_metrics)
         except StopIteration:
             pass
         except KeyboardInterrupt:
@@ -492,7 +500,11 @@ class Trainer:
         from encdiff_tpu.evalx.eval_driver import eval_func
 
         metrics_dir = os.path.join(self.logdir, "metrics_sin")
-        scores = eval_func(model.label_dataset, reps, metrics_dir, step)
+        mlist = (tuple(self.eval_metrics.split(","))
+                 if self.eval_metrics else
+                 ("beta_VAE", "dci", "MIG", "factor_VAE"))
+        scores = eval_func(model.label_dataset, reps, metrics_dir, step,
+                           metrics=mlist)
         out = {
             "val/factor_vae_score": scores.get("factor_VAE", {}).get(
                 "eval_accuracy", 0.0),
@@ -557,7 +569,11 @@ def main(argv=None):
     trainer = Trainer(config, lightning_config, logdir=logdir,
                       devices=opt.devices, seed=opt.seed,
                       accumulate=accumulate, scale_lr=opt.scale_lr,
-                      val_batches=opt.val_batches)
+                      val_batches=opt.val_batches,
+                      eval_metrics=opt.eval_metrics,
+                      check_val_every_n_epoch=(
+                          opt.check_val_every_n_epoch
+                          or trainer_cfg.get("check_val_every_n_epoch", 1)))
     if ckpt:
         print(f"[harness] resuming from {ckpt}")
         # state exists only after fit() builds it; restore inside fit via
