@@ -70,6 +70,10 @@ def get_parser(**parser_kwargs):
     parser.add_argument("--eval_metrics", type=str, default=None,
                         help="comma list: beta_VAE,dci,MIG,factor_VAE")
     parser.add_argument("--check_val_every_n_epoch", type=int, default=None)
+    parser.add_argument("--device_data", type=str2bool, default=True,
+                        nargs="?", const=True,
+                        help="keep the uint8 dataset resident in HBM and "
+                             "gather batches on device (datasets < 8 GB)")
     return parser
 
 
@@ -124,7 +128,7 @@ class Trainer:
     def __init__(self, config, lightning_config=None, logdir="logs/run",
                  devices=None, seed=23, accumulate=1, scale_lr=True,
                  val_batches=None, eval_metrics=None,
-                 check_val_every_n_epoch=1):
+                 check_val_every_n_epoch=1, device_data=True):
         import jax
 
         from encdiff_tpu.core.config import instantiate_from_config, to_plain
@@ -139,6 +143,7 @@ class Trainer:
         self.val_batches = val_batches
         self.eval_metrics = eval_metrics
         self.check_val_every_n_epoch = max(1, check_val_every_n_epoch or 1)
+        self.device_data = device_data
 
         model_cfg = to_plain(config["model"])
         self.base_lr = float(model_cfg.get("base_learning_rate", 1e-4))
@@ -255,10 +260,23 @@ class Trainer:
         repl = replicated(self.mesh)
         self.state = jax.device_put(self.state, repl)
         self.frozen = jax.device_put(self.frozen, repl)
-        step_fn = train_loop.build_train_step(model, optimizer,
-                                              mesh=self.mesh)
-        encode_fn = train_loop.build_encode_step(model, mesh=self.mesh)
         bsh = batch_sharding(self.mesh)
+        images_host = getattr(self.data._raw("train"), "images", None)
+        use_dev_data = (self.device_data and images_host is not None
+                        and images_host.nbytes < 8e9)
+        if use_dev_data:
+            # whole dataset resident in HBM; steps take index vectors only
+            import jax.numpy as jnp
+
+            images_dev = jax.device_put(jnp.asarray(images_host), repl)
+            step_fn = train_loop.build_indexed_train_step(
+                model, optimizer, images_dev, mesh=self.mesh)
+            print(f"[harness] dataset cached on device "
+                  f"({images_host.nbytes / 2**20:.0f} MiB)")
+        else:
+            step_fn = train_loop.build_train_step(model, optimizer,
+                                                  mesh=self.mesh)
+        encode_fn = train_loop.build_encode_step(model, mesh=self.mesh)
 
         # SIGUSR1 -> checkpoint (main_val.py:846-863)
         def melk(*args):
@@ -276,12 +294,23 @@ class Trainer:
         global_bs = self.batch_size
         step = int(jax.device_get(self.state.step))
         t0 = time.time()
+
+        def batches(epoch):
+            if use_dev_data:
+                n = len(train_ds)
+                order = np.random.RandomState(self.seed + epoch)                     .permutation(n).astype(np.int32)
+                for i in range(n // global_bs):
+                    yield jax.device_put(
+                        order[i * global_bs:(i + 1) * global_bs], bsh)
+            else:
+                yield from epoch_loader(train_ds, global_bs, shuffle=True,
+                                        seed=self.seed, sharding=bsh,
+                                        epoch=epoch)
+
         try:
             for epoch in range(max_epochs):
                 self.device_stats.on_epoch_start()
-                for batch in epoch_loader(train_ds, global_bs, shuffle=True,
-                                          seed=self.seed, sharding=bsh,
-                                          epoch=epoch):
+                for batch in batches(epoch):
                     rng, srng = jax.random.split(rng)
                     self.state, metrics = step_fn(self.state, self.frozen,
                                                   batch, srng)
@@ -295,8 +324,12 @@ class Trainer:
                               f"({log_every / dt:.2f} it/s)")
                         t0 = time.time()
                     if self.image_logger is not None:
+                        log_batch = batch
+                        if use_dev_data:
+                            idx = np.asarray(jax.device_get(batch))[:16]
+                            log_batch = images_host[idx]
                         self.image_logger.maybe_log(
-                            step, "train", self._log_images_fn(), batch,
+                            step, "train", self._log_images_fn(), log_batch,
                             metrics=jax.device_get(metrics))
                     for ck in self.checkpoints:
                         if ck.every_n_train_steps:

@@ -150,6 +150,58 @@ def build_train_step(model, optimizer, mesh=None, ema_decay: float = 0.9999,
     )
 
 
+def build_indexed_train_step(model, optimizer, images, mesh=None,
+                             ema_decay: float = 0.9999, donate: bool = True):
+    """Device-resident-data variant: the WHOLE uint8 dataset lives in HBM
+    (Shapes3D is 5.9 GB — fits a v5e's 16 GB) and each step receives only a
+    (B,) index vector; the batch gather runs on device. Removes the
+    per-step host->HBM image transfer entirely — the TPU-first answer to
+    the reference's num_workers tuning (SURVEY.md H2).
+
+    ``images``: jnp uint8 array already placed on device (replicated when a
+    mesh is used). Returns ``step(state, frozen, idx, rng)``.
+    """
+    base = build_train_step(model, optimizer, mesh=None, ema_decay=ema_decay,
+                            donate=False)
+    del base  # (structure reference only)
+
+    def train_step(state: TrainState, frozen, idx, rng):
+        batch = jnp.take(images, idx, axis=0)
+        if model.scale_by_std:
+            sf = jax.lax.cond(
+                state.step == 0,
+                lambda: model.compute_scale_factor(frozen, batch),
+                lambda: state.scale_factor)
+        else:
+            sf = state.scale_factor
+        frozen_in = {"first_stage": frozen["first_stage"],
+                     "cond_batch_stats": state.batch_stats}
+        grad_fn = jax.value_and_grad(
+            lambda p: model.loss_fn(p, frozen_in, batch, rng, sf, train=True),
+            has_aux=True)
+        (loss, (loss_dict, new_stats)), grads = grad_fn(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = state.ema
+        if ema is not None:
+            ema = ema_lib.update(ema, params["unet"], decay=ema_decay)
+        metrics = dict(loss_dict)
+        new_state = TrainState(
+            step=state.step + 1, params=params, batch_stats=new_stats,
+            opt_state=opt_state, ema=ema, scale_factor=sf)
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    repl = replicated(mesh)
+    bsh = batch_sharding(mesh)
+    return jax.jit(train_step,
+                   in_shardings=(repl, repl, bsh, repl),
+                   out_shardings=(repl, repl),
+                   donate_argnums=(0,) if donate else ())
+
+
 def build_eval_step(model, mesh=None):
     """validation_step equivalent (``ddpm_enc.py:378-390``): returns the val
     loss dict plus the (B, latent_unit) raw scalars used by the

@@ -156,3 +156,28 @@ def test_mcl_train_step():
         lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
         state.params["mcl"], s1.params["mcl"])))
     assert dm > 0
+
+
+def test_indexed_train_step_matches_batch_step(trained_bits):
+    """Device-resident-data step must produce the same loss as the
+    host-batch step for identical data."""
+    import jax
+    import jax.numpy as jnp
+
+    from encdiff_tpu.train import loop as train_loop
+
+    model, optimizer, state, frozen = trained_bits
+    rs = np.random.RandomState(7)
+    images = rs.randint(0, 256, size=(64, 32, 32, 3), dtype=np.uint8)
+    idx = np.array([3, 41, 17, 9], np.int32)
+    rng = jax.random.PRNGKey(5)
+
+    f_batch = train_loop.build_train_step(model, optimizer, donate=False)
+    _, m1 = f_batch(state, frozen, images[idx], rng)
+
+    f_idx = train_loop.build_indexed_train_step(
+        model, optimizer, jnp.asarray(images), donate=False)
+    _, m2 = f_idx(state, frozen, jnp.asarray(idx), rng)
+
+    np.testing.assert_allclose(float(m1["train/loss"]),
+                               float(m2["train/loss"]), rtol=1e-5)
