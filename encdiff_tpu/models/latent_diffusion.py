@@ -295,6 +295,11 @@ class LatentDiffusion(DDPM):
 
         unet_vars = {"params": trainable["unet"]}
         apply_fn = lambda x_noisy, tt: self.apply_model(unet_vars, x_noisy, tt, tokens)
+        if self.unet_config.get("params", {}).get("use_checkpoint"):
+            # rematerialize the denoiser in the backward pass (the reference's
+            # per-block torch checkpointing, util.py:116-176, expressed at the
+            # jit level): ~2x less activation memory for ~33% extra FLOPs
+            apply_fn = jax.checkpoint(apply_fn)
 
         logvar = trainable.get("logvar", jnp.asarray(self.logvar))
         prefix = "train" if train else "val"

@@ -8,9 +8,10 @@ flat (B, latent_unit*context_dim) conditioning vector is reshaped to
 (B, latent_unit, context_dim) tokens exactly like ``openaimodel_enc.py:729``.
 
 Differences from the reference by design:
-- functional flax module, jitted as a whole; rematerialisation via
-  ``jax.checkpoint`` on resblock application when ``use_checkpoint`` is set
-  (instead of torch's custom autograd.Function, ``util.py:116-176``).
+- functional flax module, jitted as a whole; with ``use_checkpoint`` the
+  train step wraps the whole denoiser apply in ``jax.checkpoint``
+  (``LatentDiffusion.loss_fn``) instead of torch's per-block custom
+  autograd.Function (``util.py:116-176``).
 - attention maps are captured correctly through flax ``sow`` (the reference's
   ``return_context`` plumbing is broken — SURVEY.md §2.5).
 """

@@ -22,6 +22,8 @@ import optax
 from encdiff_tpu.core import ema as ema_lib
 from encdiff_tpu.core.config import instantiate_from_config, to_plain
 from encdiff_tpu.core.lr_scheduler import as_optax_schedule
+from jax.sharding import NamedSharding
+
 from encdiff_tpu.parallel.mesh import batch_sharding, replicated
 
 
@@ -197,6 +199,69 @@ def build_indexed_train_step(model, optimizer, images, mesh=None,
     repl = replicated(mesh)
     bsh = batch_sharding(mesh)
     return jax.jit(train_step,
+                   in_shardings=(repl, repl, bsh, repl),
+                   out_shardings=(repl, repl),
+                   donate_argnums=(0,) if donate else ())
+
+
+def build_scan_train_step(model, optimizer, images, k: int = 4, mesh=None,
+                          ema_decay: float = 0.9999, donate: bool = True):
+    """K training steps fused into ONE XLA program via lax.scan over a
+    (K, B) index matrix. Metrics are returned per sub-step (stacked).
+    Requires device-resident ``images`` (uint8, HBM).
+
+    MEASURED SLOWER than the single-step path at the flagship config
+    (23.9 vs 55.6 steps/s, k=8, bs=128 on one v5e): the scan carry holds
+    the full param+Adam state and XLA materializes carry copies per
+    iteration, outweighing the k-fold dispatch amortization. Useful only
+    for small models where per-step dispatch dominates; the harness
+    default stays the single-step donated path.
+    """
+
+    def one_step(carry, idx):
+        state, rng = carry
+        rng, srng = jax.random.split(rng)
+        batch = jnp.take(images, idx, axis=0)
+        if model.scale_by_std:
+            sf = jax.lax.cond(
+                state.step == 0,
+                lambda: model.compute_scale_factor(
+                    {"first_stage": frozen_holder[0]}, batch),
+                lambda: state.scale_factor)
+        else:
+            sf = state.scale_factor
+        frozen_in = {"first_stage": frozen_holder[0],
+                     "cond_batch_stats": state.batch_stats}
+        grad_fn = jax.value_and_grad(
+            lambda p: model.loss_fn(p, frozen_in, batch, srng, sf,
+                                    train=True), has_aux=True)
+        (loss, (loss_dict, new_stats)), grads = grad_fn(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = state.ema
+        if ema is not None:
+            ema = ema_lib.update(ema, params["unet"], decay=ema_decay)
+        new_state = TrainState(
+            step=state.step + 1, params=params, batch_stats=new_stats,
+            opt_state=opt_state, ema=ema, scale_factor=sf)
+        return (new_state, rng), loss_dict
+
+    frozen_holder = [None]
+
+    def train_k_steps(state: TrainState, frozen, idx_matrix, rng):
+        # frozen rides through a mutable closure cell so one_step stays a
+        # clean scan body (it is re-traced per call anyway)
+        frozen_holder[0] = frozen["first_stage"]
+        (state, _), metrics = jax.lax.scan(one_step, (state, rng),
+                                           idx_matrix)
+        return state, metrics
+
+    if mesh is None:
+        return jax.jit(train_k_steps, donate_argnums=(0,) if donate else ())
+    repl = replicated(mesh)
+    bsh = NamedSharding(mesh, jax.sharding.PartitionSpec(None, "data"))
+    return jax.jit(train_k_steps,
                    in_shardings=(repl, repl, bsh, repl),
                    out_shardings=(repl, repl),
                    donate_argnums=(0,) if donate else ())

@@ -181,3 +181,32 @@ def test_indexed_train_step_matches_batch_step(trained_bits):
 
     np.testing.assert_allclose(float(m1["train/loss"]),
                                float(m2["train/loss"]), rtol=1e-5)
+
+
+def test_remat_flag_changes_nothing_numerically():
+    """use_checkpoint (remat) must leave the loss/gradients unchanged."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import jax
+
+    from __graft_entry__ import _flagship_config
+    from encdiff_tpu.core.config import instantiate_from_config
+    from encdiff_tpu.train import loop as train_loop
+
+    losses = []
+    for remat in (False, True):
+        cfg = _flagship_config(model_channels=32, num_res_blocks=1, vq_ch=32,
+                               channel_mult=(1, 2), vq_ch_mult=(1, 2),
+                               resolution=32)
+        cfg["params"]["unet_config"]["params"]["use_checkpoint"] = remat
+        model = instantiate_from_config(cfg)
+        optimizer = train_loop.build_optimizer(model, learning_rate=1e-4)
+        state, frozen = train_loop.create_train_state(
+            model, jax.random.PRNGKey(0), optimizer, image_resolution=32)
+        step = train_loop.build_train_step(model, optimizer, donate=False)
+        batch = np.random.RandomState(0).randint(
+            0, 256, size=(4, 32, 32, 3), dtype=np.uint8)
+        _, m = step(state, frozen, batch, jax.random.PRNGKey(1))
+        losses.append(float(m["train/loss"]))
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)
