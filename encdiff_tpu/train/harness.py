@@ -212,15 +212,52 @@ class Trainer:
         save_pytree(os.path.abspath(path), tree)
 
     def restore_checkpoint(self, path):
-        from encdiff_tpu.core.checkpoints import restore_pytree
+        """Lenient restore (the reference's strict=False, ddpm_enc.py:204-220):
+        leaves whose path is absent in the checkpoint — e.g. freshly added
+        MCL modules and their optimizer slots — keep their init values."""
         import jax
+        import numpy as np
+        from flax import serialization
 
-        tree = restore_pytree(
-            os.path.abspath(path),
-            {"state": jax.device_get(self.state),
-             "frozen": jax.device_get(self.frozen)})
-        self.state = tree["state"]
-        self.frozen = tree["frozen"]
+        from encdiff_tpu.core.checkpoints import restore_pytree
+
+        raw = restore_pytree(os.path.abspath(path), None)
+
+        def normalize(x):
+            # orbax (no target) restores tuples as lists; flax state dicts
+            # index tuples as {"0": ...}
+            if isinstance(x, dict):
+                return {str(k): normalize(v) for k, v in x.items()}
+            if isinstance(x, (list, tuple)):
+                return {str(i): normalize(v) for i, v in enumerate(x)}
+            return x
+
+        target = {"state": jax.device_get(self.state),
+                  "frozen": jax.device_get(self.frozen)}
+        init_sd = serialization.to_state_dict(target)
+        ck_sd = normalize(raw)
+
+        kept = []
+
+        def merge(init, ck, path=()):
+            if isinstance(init, dict):
+                ck = ck if isinstance(ck, dict) else {}
+                return {k: merge(v, ck.get(str(k)), path + (str(k),))
+                        for k, v in init.items()}
+            if ck is None or (np.shape(ck) != np.shape(init)):
+                kept.append("/".join(path))
+                return init
+            return np.asarray(ck)
+
+        merged_sd = merge(init_sd, ck_sd)
+        restored = serialization.from_state_dict(target, merged_sd)
+        self.state = restored["state"]
+        self.frozen = restored["frozen"]
+        if kept:
+            print(f"[harness] restore kept {len(kept)} init leaves "
+                  f"(strict=False); e.g. {kept[:3]}")
+        print(f"[harness] restored from {path} at step "
+              f"{int(np.asarray(self.state.step))}")
 
     # --- the loops -----------------------------------------------------------
     def fit(self, max_epochs=10, max_steps=None, log_every=50):
