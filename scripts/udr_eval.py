@@ -1,0 +1,84 @@
+"""UDR across model seeds (the ``evaluation/udr/evaluate.py`` driver).
+
+Given several trained run checkpoints of the SAME config (different seeds),
+encodes the dataset with each and reports pairwise UDR disentanglement +
+per-model scores.
+
+Usage:
+  python scripts/udr_eval.py -b <config.yaml> -r <ckpt1> <ckpt2> [...]
+      [--num_data_points 1000] [--correlation lasso|spearman]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-b", "--base", required=True)
+    ap.add_argument("-r", "--ckpts", nargs="+", required=True)
+    ap.add_argument("--num_data_points", type=int, default=1000)
+    ap.add_argument("--batch_size", type=int, default=100)
+    ap.add_argument("--correlation", default="lasso",
+                    choices=["lasso", "spearman"])
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from encdiff_tpu.core.config import instantiate_from_config, to_plain
+    from encdiff_tpu.core.yamlcfg import OmegaConf
+    from encdiff_tpu.evalx.udr import compute_udr
+    from encdiff_tpu.train.checkpoint_io import load_model_variables
+
+    config = OmegaConf.load(args.base)
+    model_cfg = to_plain(config["model"])
+    model = instantiate_from_config(
+        {"target": model_cfg["target"], "params": model_cfg["params"]})
+    assert model.label_dataset is not None, \
+        "config needs eval_name for the ground-truth dataset"
+
+    data = instantiate_from_config(to_plain(config["data"]))
+    data.setup()
+    ds = data._raw("train")
+    images = ds.images
+
+    rep_fns = []
+    for ck in args.ckpts:
+        variables, _ = load_model_variables(model, ck)
+        cond_vars = {"params": variables["cond"]["params"],
+                     "batch_stats": variables["cond"].get("batch_stats", {})}
+        enc = jax.jit(lambda x, cv=cond_vars: model.cond_encoding(
+            cv, x.astype(jnp.float32) / 127.5 - 1.0))
+
+        def rep_fn(obs, enc=enc):
+            return np.asarray(enc(jnp.asarray(
+                images[np.asarray(obs, np.int64)])))
+
+        rep_fns.append(rep_fn)
+
+    scores = compute_udr(model.label_dataset, rep_fns,
+                         np.random.RandomState(0),
+                         batch_size=args.batch_size,
+                         num_data_points=args.num_data_points,
+                         correlation_matrix=args.correlation,
+                         include_raw_correlations=False)
+    print(json.dumps({"model_scores": scores["model_scores"],
+                      "pairwise": scores["pairwise_disentanglement_scores"]},
+                     indent=2))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(scores, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
