@@ -33,13 +33,22 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 BATCH = int(os.environ.get("BENCH_BATCH", "128"))
 WARMUP = 3
 ITERS = int(os.environ.get("BENCH_ITERS", "20"))
+# bf16 activations / fp32 params measured faster at the flagship batch
+# (58.3 vs 55.6 steps/s at bs=128; see BENCH_NOTES.md). BENCH_DTYPE=float32
+# selects the bit-parity mode.
+DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
 
 
 def main():
-    from __graft_entry__ import _build_model
+    from __graft_entry__ import _flagship_config
+    from encdiff_tpu.core.config import instantiate_from_config
     from encdiff_tpu.train import loop as train_loop
 
-    model = _build_model()
+    dtype = jnp.bfloat16 if DTYPE == "bfloat16" else jnp.float32
+    cfg = _flagship_config()
+    cfg["params"]["unet_config"]["params"]["dtype"] = dtype
+    cfg["params"]["first_stage_config"]["params"]["dtype"] = dtype
+    model = instantiate_from_config(cfg, dtype=dtype)
     optimizer = train_loop.build_optimizer(model, learning_rate=1e-4)
     state, frozen = train_loop.create_train_state(
         model, jax.random.PRNGKey(0), optimizer, image_resolution=64)

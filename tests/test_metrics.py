@@ -155,3 +155,29 @@ def test_eval_driver_writes_json(tmp_path):
                    metrics=("MIG",))
     assert "MIG" in vd
     assert (tmp_path / "123.json").exists()
+
+
+def test_metric_registry_on_perfect_representation():
+    """evaluate_representation: every fast metric near-perfect on the
+    factors themselves (synthetic_shapes index dataset)."""
+    import itertools
+
+    import numpy as np
+
+    from encdiff_tpu.evalx.evaluate import (available_metrics,
+                                            evaluate_representation)
+
+    sizes = [6, 6, 6, 4, 4, 8]
+    grid = np.array(list(itertools.product(*[range(s) for s in sizes])),
+                    np.float64)
+    reps = grid + 0.01 * np.random.RandomState(0).randn(*grid.shape)
+    assert "dci" in available_metrics() and "med" in available_metrics()
+    mig = evaluate_representation("mig", "synthetic_shapes", reps,
+                                  num_train=2000, num_bins=20)
+    assert mig["discrete_mig"] > 0.95
+    sap = evaluate_representation("sap", "synthetic_shapes", reps,
+                                  num_train=2000, num_test=500)
+    assert sap["SAP_score"] > 0.95
+    irs = evaluate_representation("irs", "synthetic_shapes", reps,
+                                  num_train=2000)
+    assert irs["IRS"] > 0.9
