@@ -306,8 +306,10 @@ class Trainer:
             import jax.numpy as jnp
 
             images_dev = jax.device_put(jnp.asarray(images_host), repl)
-            step_fn = train_loop.build_indexed_train_step(
-                model, optimizer, images_dev, mesh=self.mesh)
+            base_step = train_loop.build_indexed_train_step(
+                model, optimizer, mesh=self.mesh)
+            step_fn = lambda st, fr, idx, rng: base_step(
+                st, fr, images_dev, idx, rng)
             print(f"[harness] dataset cached on device "
                   f"({images_host.nbytes / 2**20:.0f} MiB)")
         else:

@@ -152,7 +152,7 @@ def build_train_step(model, optimizer, mesh=None, ema_decay: float = 0.9999,
     )
 
 
-def build_indexed_train_step(model, optimizer, images, mesh=None,
+def build_indexed_train_step(model, optimizer, mesh=None,
                              ema_decay: float = 0.9999, donate: bool = True):
     """Device-resident-data variant: the WHOLE uint8 dataset lives in HBM
     (Shapes3D is 5.9 GB — fits a v5e's 16 GB) and each step receives only a
@@ -160,14 +160,13 @@ def build_indexed_train_step(model, optimizer, images, mesh=None,
     per-step host->HBM image transfer entirely — the TPU-first answer to
     the reference's num_workers tuning (SURVEY.md H2).
 
-    ``images``: jnp uint8 array already placed on device (replicated when a
-    mesh is used). Returns ``step(state, frozen, idx, rng)``.
+    ``images`` is an explicit argument of the returned
+    ``step(state, frozen, images, idx, rng)`` — closing over the array
+    would embed it as an HLO constant (and, on remote-compile setups, ship
+    the whole dataset with every compile request).
     """
-    base = build_train_step(model, optimizer, mesh=None, ema_decay=ema_decay,
-                            donate=False)
-    del base  # (structure reference only)
 
-    def train_step(state: TrainState, frozen, idx, rng):
+    def train_step(state: TrainState, frozen, images, idx, rng):
         batch = jnp.take(images, idx, axis=0)
         if model.scale_by_std:
             sf = jax.lax.cond(
@@ -199,12 +198,12 @@ def build_indexed_train_step(model, optimizer, images, mesh=None,
     repl = replicated(mesh)
     bsh = batch_sharding(mesh)
     return jax.jit(train_step,
-                   in_shardings=(repl, repl, bsh, repl),
+                   in_shardings=(repl, repl, repl, bsh, repl),
                    out_shardings=(repl, repl),
                    donate_argnums=(0,) if donate else ())
 
 
-def build_scan_train_step(model, optimizer, images, k: int = 4, mesh=None,
+def build_scan_train_step(model, optimizer, k: int = 4, mesh=None,
                           ema_decay: float = 0.9999, donate: bool = True):
     """K training steps fused into ONE XLA program via lax.scan over a
     (K, B) index matrix. Metrics are returned per sub-step (stacked).
@@ -219,7 +218,7 @@ def build_scan_train_step(model, optimizer, images, k: int = 4, mesh=None,
     """
 
     def one_step(carry, idx):
-        state, rng = carry
+        state, rng, images = carry
         rng, srng = jax.random.split(rng)
         batch = jnp.take(images, idx, axis=0)
         if model.scale_by_std:
@@ -245,16 +244,16 @@ def build_scan_train_step(model, optimizer, images, k: int = 4, mesh=None,
         new_state = TrainState(
             step=state.step + 1, params=params, batch_stats=new_stats,
             opt_state=opt_state, ema=ema, scale_factor=sf)
-        return (new_state, rng), loss_dict
+        return (new_state, rng, images), loss_dict
 
     frozen_holder = [None]
 
-    def train_k_steps(state: TrainState, frozen, idx_matrix, rng):
+    def train_k_steps(state: TrainState, frozen, images, idx_matrix, rng):
         # frozen rides through a mutable closure cell so one_step stays a
         # clean scan body (it is re-traced per call anyway)
         frozen_holder[0] = frozen["first_stage"]
-        (state, _), metrics = jax.lax.scan(one_step, (state, rng),
-                                           idx_matrix)
+        (state, _, _), metrics = jax.lax.scan(one_step, (state, rng, images),
+                                              idx_matrix)
         return state, metrics
 
     if mesh is None:
@@ -262,7 +261,7 @@ def build_scan_train_step(model, optimizer, images, k: int = 4, mesh=None,
     repl = replicated(mesh)
     bsh = NamedSharding(mesh, jax.sharding.PartitionSpec(None, "data"))
     return jax.jit(train_k_steps,
-                   in_shardings=(repl, repl, bsh, repl),
+                   in_shardings=(repl, repl, repl, bsh, repl),
                    out_shardings=(repl, repl),
                    donate_argnums=(0,) if donate else ())
 

@@ -176,8 +176,8 @@ def test_indexed_train_step_matches_batch_step(trained_bits):
     _, m1 = f_batch(state, frozen, images[idx], rng)
 
     f_idx = train_loop.build_indexed_train_step(
-        model, optimizer, jnp.asarray(images), donate=False)
-    _, m2 = f_idx(state, frozen, jnp.asarray(idx), rng)
+        model, optimizer, donate=False)
+    _, m2 = f_idx(state, frozen, jnp.asarray(images), jnp.asarray(idx), rng)
 
     np.testing.assert_allclose(float(m1["train/loss"]),
                                float(m2["train/loss"]), rtol=1e-5)
