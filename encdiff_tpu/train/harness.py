@@ -302,16 +302,17 @@ class Trainer:
         use_dev_data = (self.device_data and images_host is not None
                         and images_host.nbytes < 8e9)
         if use_dev_data:
-            # whole dataset resident in HBM; steps take index vectors only
+            # whole dataset + epoch permutation resident in HBM; one
+            # dispatch per step, rng folded in on device
             import jax.numpy as jnp
 
             images_dev = jax.device_put(jnp.asarray(images_host), repl)
-            base_step = train_loop.build_indexed_train_step(
-                model, optimizer, mesh=self.mesh)
-            step_fn = lambda st, fr, idx, rng: base_step(
-                st, fr, images_dev, idx, rng)
+            steps_per_epoch = len(self.data._raw("train")) // self.batch_size
+            step_fn = train_loop.build_epoch_train_step(
+                model, optimizer, steps_per_epoch, mesh=self.mesh)
             print(f"[harness] dataset cached on device "
-                  f"({images_host.nbytes / 2**20:.0f} MiB)")
+                  f"({images_host.nbytes / 2**20:.0f} MiB), "
+                  f"{steps_per_epoch} steps/epoch on-device indexed")
         else:
             step_fn = train_loop.build_train_step(model, optimizer,
                                                   mesh=self.mesh)
@@ -337,22 +338,32 @@ class Trainer:
         def batches(epoch):
             if use_dev_data:
                 n = len(train_ds)
-                order = np.random.RandomState(self.seed + epoch)                     .permutation(n).astype(np.int32)
-                for i in range(n // global_bs):
-                    yield jax.device_put(
-                        order[i * global_bs:(i + 1) * global_bs], bsh)
+                spe = n // global_bs
+                order = (np.random.RandomState(self.seed + epoch)
+                         .permutation(n)[: spe * global_bs]
+                         .astype(np.int32))
+                perm_dev = jax.device_put(order, repl)
+                # one permutation upload per epoch; the step slices it
+                for _ in range(spe):
+                    yield perm_dev
             else:
                 yield from epoch_loader(train_ds, global_bs, shuffle=True,
                                         seed=self.seed, sharding=bsh,
                                         epoch=epoch)
 
+        rng_base = jax.random.fold_in(rng, 17)
         try:
             for epoch in range(max_epochs):
                 self.device_stats.on_epoch_start()
                 for batch in batches(epoch):
-                    rng, srng = jax.random.split(rng)
-                    self.state, metrics = step_fn(self.state, self.frozen,
-                                                  batch, srng)
+                    if use_dev_data:
+                        self.state, metrics = step_fn(
+                            self.state, self.frozen, images_dev, batch,
+                            rng_base)
+                    else:
+                        rng, srng = jax.random.split(rng)
+                        self.state, metrics = step_fn(self.state, self.frozen,
+                                                      batch, srng)
                     step += 1
                     if step % log_every == 0:
                         m = {k: float(v) for k, v in
@@ -366,7 +377,7 @@ class Trainer:
                         log_batch = batch
                         if use_dev_data:
                             idx = np.asarray(jax.device_get(batch))[:16]
-                            log_batch = images_host[idx]
+                            log_batch = images_host[np.asarray(idx, np.int64)]
                         self.image_logger.maybe_log(
                             step, "train", self._log_images_fn(), log_batch,
                             metrics=jax.device_get(metrics))

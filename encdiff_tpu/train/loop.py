@@ -203,6 +203,60 @@ def build_indexed_train_step(model, optimizer, mesh=None,
                    donate_argnums=(0,) if donate else ())
 
 
+def build_epoch_train_step(model, optimizer, steps_per_epoch: int,
+                           mesh=None, ema_decay: float = 0.9999,
+                           donate: bool = True):
+    """Fully device-driven step: ONE dispatch per step, zero per-step host
+    work. The epoch permutation lives on device; the step slices its batch
+    indices at ``state.step % steps_per_epoch`` and derives its rng with
+    ``fold_in(rng_base, state.step)`` — no host-side ``random.split`` or
+    index upload (each of those costs a dispatch round-trip, which
+    dominates on remote/tunneled TPUs).
+
+    Returns ``step(state, frozen, images, perm, rng_base)``; upload a fresh
+    ``perm`` once per epoch.
+    """
+
+    def train_step(state: TrainState, frozen, images, perm, rng_base):
+        i = (state.step % steps_per_epoch).astype(jnp.int32)
+        b = perm.shape[0] // steps_per_epoch
+        idx = jax.lax.dynamic_slice(perm, (i * b,), (b,))
+        batch = jnp.take(images, idx, axis=0)
+        rng = jax.random.fold_in(rng_base, state.step)
+        if model.scale_by_std:
+            sf = jax.lax.cond(
+                state.step == 0,
+                lambda: model.compute_scale_factor(frozen, batch),
+                lambda: state.scale_factor)
+        else:
+            sf = state.scale_factor
+        frozen_in = {"first_stage": frozen["first_stage"],
+                     "cond_batch_stats": state.batch_stats}
+        grad_fn = jax.value_and_grad(
+            lambda p: model.loss_fn(p, frozen_in, batch, rng, sf, train=True),
+            has_aux=True)
+        (loss, (loss_dict, new_stats)), grads = grad_fn(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = state.ema
+        if ema is not None:
+            ema = ema_lib.update(ema, params["unet"], decay=ema_decay)
+        new_state = TrainState(
+            step=state.step + 1, params=params, batch_stats=new_stats,
+            opt_state=opt_state, ema=ema, scale_factor=sf)
+        return new_state, loss_dict
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    repl = replicated(mesh)
+    bsh = batch_sharding(mesh)
+    return jax.jit(train_step,
+                   in_shardings=(repl, repl, repl, repl, repl),
+                   out_shardings=(repl, repl),
+                   donate_argnums=(0,) if donate else ())
+
+
 def build_scan_train_step(model, optimizer, k: int = 4, mesh=None,
                           ema_decay: float = 0.9999, donate: bool = True):
     """K training steps fused into ONE XLA program via lax.scan over a
