@@ -116,6 +116,10 @@ class ImageLogger:
             self.record.bind(logdir)
         return self
 
+    def due(self, step: int) -> bool:
+        """Side-effect-free peek at check_frequency."""
+        return step % self.batch_freq == 0 or step in self.log_steps
+
     def check_frequency(self, step: int) -> bool:
         if step % self.batch_freq == 0 or step in self.log_steps:
             try:
@@ -125,9 +129,18 @@ class ImageLogger:
             return True
         return False
 
+    def wants_metrics(self, step: int) -> bool:
+        """True when this step's metrics will actually be consumed — lets
+        the train loop skip the device->host metric sync on other steps
+        (a per-step blocking fetch serializes dispatch on remote TPUs)."""
+        return self.record is not None and step % self.record.interval == 0
+
     def maybe_log(self, step: int, split: str, log_images_fn, batch,
                   metrics=None):
-        if self.record is not None and metrics is not None:
+        if self.record is not None and metrics is not None and callable(metrics):
+            if self.wants_metrics(step):
+                self.record.log(step, metrics())
+        elif self.record is not None and metrics is not None:
             self.record.log(step, metrics)
         if self.disabled or not self.check_frequency(step):
             return

@@ -373,14 +373,18 @@ class Trainer:
                               f"loss {m.get('train/loss', float('nan')):.4f} "
                               f"({log_every / dt:.2f} it/s)")
                         t0 = time.time()
-                    if self.image_logger is not None:
+                    if self.image_logger is not None and (
+                            self.image_logger.wants_metrics(step)
+                            or self.image_logger.due(step)):
+                        # metrics materialize lazily: fetching them every
+                        # step would sync the device each dispatch
                         log_batch = batch
                         if use_dev_data:
                             idx = np.asarray(jax.device_get(batch))[:16]
                             log_batch = images_host[np.asarray(idx, np.int64)]
                         self.image_logger.maybe_log(
                             step, "train", self._log_images_fn(), log_batch,
-                            metrics=jax.device_get(metrics))
+                            metrics=lambda: jax.device_get(metrics))
                     for ck in self.checkpoints:
                         if ck.every_n_train_steps:
                             ck.maybe_save(self.save_checkpoint, step, epoch)
