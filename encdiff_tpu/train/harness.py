@@ -592,15 +592,17 @@ class Trainer:
                  ("beta_VAE", "dci", "MIG", "factor_VAE"))
         scores = eval_func(model.label_dataset, reps, metrics_dir, step,
                            metrics=mlist)
-        out = {
-            "val/factor_vae_score": scores.get("factor_VAE", {}).get(
-                "eval_accuracy", 0.0),
-            "val/dci_disentanglement": scores.get("dci", {}).get(
-                "disentanglement", 0.0),
-            "val/mig": scores.get("MIG", {}).get("discrete_mig", 0.0),
-            "val/beta_vae": scores.get("beta_VAE", {}).get(
-                "eval_accuracy", 0.0),
-        }
+        out = {}
+        if "factor_VAE" in scores:
+            out["val/factor_vae_score"] = scores["factor_VAE"].get(
+                "eval_accuracy", 0.0)
+        if "dci" in scores:
+            out["val/dci_disentanglement"] = scores["dci"].get(
+                "disentanglement", 0.0)
+        if "MIG" in scores:
+            out["val/mig"] = scores["MIG"].get("discrete_mig", 0.0)
+        if "beta_VAE" in scores:
+            out["val/beta_vae"] = scores["beta_VAE"].get("eval_accuracy", 0.0)
         print(f"[val epoch {epoch}] " + " ".join(
             f"{k.split('/')[-1]}={v:.4f}" for k, v in out.items()))
         if self.swap_cb is not None:
