@@ -126,8 +126,11 @@ class DiffusionSchedule:
             + v_posterior * betas
         )
         if parameterization == "eps":
-            lvlb_weights = betas**2 / (
-                2 * posterior_variance * alphas * (1 - alphas_cumprod))
+            # posterior_variance[0] == 0 -> inf at t=0; overwritten below
+            # (same wart as ddpm_enc.py:175-186) — silence the warning.
+            with np.errstate(divide="ignore"):
+                lvlb_weights = betas**2 / (
+                    2 * posterior_variance * alphas * (1 - alphas_cumprod))
         elif parameterization == "x0":
             # parity with ddpm_enc.py:179-180 (note: `2. * 1 - a` == `2 - a`)
             lvlb_weights = 0.5 * np.sqrt(alphas_cumprod) / (2.0 - alphas_cumprod)
