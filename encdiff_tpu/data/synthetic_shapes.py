@@ -27,9 +27,13 @@ import numpy as np
 from encdiff_tpu.data.datasets import ArrayDataset
 
 FACTOR_SIZES = [6, 6, 6, 4, 4, 8]
+#: the EXACT Shapes3D factor grid (shapes3d.py:44): 480,000 images — the
+#: full-fidelity stand-in benchmark for the BASELINE DCI/FactorVAE rows.
+FULL_FACTOR_SIZES = [10, 10, 10, 8, 4, 15]
 FACTOR_NAMES = ["floor_hue", "wall_hue", "object_hue", "scale", "shape",
                 "orientation"]
 N_IMAGES = int(np.prod(FACTOR_SIZES))  # 27648
+N_IMAGES_FULL = int(np.prod(FULL_FACTOR_SIZES))  # 480000
 
 
 def _hue_rgb(i: int, n: int, s: float = 0.85, v: float = 0.95) -> np.ndarray:
@@ -38,11 +42,21 @@ def _hue_rgb(i: int, n: int, s: float = 0.85, v: float = 0.95) -> np.ndarray:
 
 
 def _shape_mask(shape_idx: int, scale_idx: int, orient_idx: int,
-                size: int = 64) -> np.ndarray:
-    """Boolean mask of the object for one geometry combination."""
+                size: int = 64,
+                factor_sizes=None) -> np.ndarray:
+    """Boolean mask of the object for one geometry combination.
+
+    Geometry is parameterized by the *fraction* along each factor axis so a
+    denser grid (e.g. the full 8-scale / 15-orientation Shapes3D grid)
+    interpolates the same 8..17 px radius and +-11.2 px position ranges the
+    6-factor demo grid uses (identical pixels for the old [.,.,.,4,.,8]
+    grid)."""
+    fs = FACTOR_SIZES if factor_sizes is None else factor_sizes
+    n_scale, n_orient = fs[3], fs[5]
     yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
-    radius = 8.0 + 3.0 * scale_idx                     # 8..17 px
-    cx = size / 2 + (orient_idx - (FACTOR_SIZES[5] - 1) / 2) * 3.2
+    radius = 8.0 + 9.0 * (scale_idx / max(n_scale - 1, 1))     # 8..17 px
+    cx = size / 2 + (orient_idx - (n_orient - 1) / 2) * (
+        22.4 / max(n_orient - 1, 1))
     cy = size * 0.62
     dx, dy = xx - cx, yy - cy
     if shape_idx == 0:      # square
@@ -56,9 +70,17 @@ def _shape_mask(shape_idx: int, scale_idx: int, orient_idx: int,
     return np.abs(dx) + np.abs(dy) < radius * 1.3
 
 
-def render_all(size: int = 64, horizon: float = 0.55) -> np.ndarray:
-    """The full factor grid as one uint8 array (N, size, size, 3)."""
-    f_floor, f_wall, f_obj, f_scale, f_shape, f_orient = FACTOR_SIZES
+def render_all(size: int = 64, horizon: float = 0.55,
+               factor_sizes=None) -> np.ndarray:
+    """The full factor grid as one uint8 array (N, size, size, 3).
+
+    Vectorized over the (scale, shape, orientation) geometry block: one
+    ``np.where`` per (floor, wall, object-hue) background fills the whole
+    contiguous index block, so the 480k-image full grid renders in seconds
+    on one host core."""
+    fs = list(FACTOR_SIZES if factor_sizes is None else factor_sizes)
+    f_floor, f_wall, f_obj, f_scale, f_shape, f_orient = fs
+    n_images = int(np.prod(fs))
     floor_colors = np.stack([_hue_rgb(i, f_floor) for i in range(f_floor)])
     wall_colors = np.stack([_hue_rgb(i, f_wall, s=0.6, v=0.8)
                             for i in range(f_wall)])
@@ -66,50 +88,69 @@ def render_all(size: int = 64, horizon: float = 0.55) -> np.ndarray:
                            for i in range(f_obj)])
 
     hy = int(size * horizon)
-    # geometry masks: (scale, shape, orientation) -> (size, size)
-    masks = np.zeros((f_scale, f_shape, f_orient, size, size), bool)
+    # geometry masks, flattened row-major over (scale, shape, orientation) —
+    # exactly the layout of the trailing 3 index digits
+    n_geo = f_scale * f_shape * f_orient
+    masks = np.zeros((n_geo, size, size, 1), bool)
+    g = 0
     for sc in range(f_scale):
         for sh in range(f_shape):
             for orient in range(f_orient):
-                masks[sc, sh, orient] = _shape_mask(sh, sc, orient, size)
+                masks[g, :, :, 0] = _shape_mask(sh, sc, orient, size, fs)
+                g += 1
 
-    out = np.empty((N_IMAGES, size, size, 3), np.uint8)
-    bases = np.concatenate(
-        [np.cumprod(FACTOR_SIZES[::-1])[::-1][1:], [1]]).astype(np.int64)
-    bg = np.empty((size, size, 3), np.float32)
+    out = np.empty((n_images, size, size, 3), np.uint8)
+    bg = np.empty((size, size, 3), np.uint8)
+    idx = 0
     for fl in range(f_floor):
         for wa in range(f_wall):
-            bg[:hy] = wall_colors[wa]
-            bg[hy:] = floor_colors[fl]
+            bg[:hy] = wall_colors[wa].astype(np.uint8)
+            bg[hy:] = floor_colors[fl].astype(np.uint8)
             for ob in range(f_obj):
-                for sc in range(f_scale):
-                    for sh in range(f_shape):
-                        for orient in range(f_orient):
-                            idx = int(np.dot(
-                                [fl, wa, ob, sc, sh, orient], bases))
-                            img = bg.copy()
-                            img[masks[sc, sh, orient]] = obj_colors[ob]
-                            out[idx] = img.astype(np.uint8)
+                np.copyto(out[idx:idx + n_geo],
+                          np.where(masks, obj_colors[ob].astype(np.uint8),
+                                   bg))
+                idx += n_geo
+    assert idx == n_images
     return out
 
 
-_CACHE: dict[int, np.ndarray] = {}
+_CACHE: dict[tuple, np.ndarray] = {}
 
 
-def get_images(size: int = 64) -> np.ndarray:
-    if size not in _CACHE:
-        _CACHE[size] = render_all(size)
-    return _CACHE[size]
+def get_images(size: int = 64, factor_sizes=None) -> np.ndarray:
+    key = (size, tuple(FACTOR_SIZES if factor_sizes is None
+                       else factor_sizes))
+    if key not in _CACHE:
+        _CACHE[key] = render_all(size, factor_sizes=factor_sizes)
+    return _CACHE[key]
 
 
 class SyntheticShapes3D(ArrayDataset):
     """Training dataset over the procedural grid (drop-in for Shapes3DTrain
     in configs; pair with ``eval_name: synthetic_shapes``)."""
 
+    factor_sizes = FACTOR_SIZES
+
     def __init__(self, image_size: int = 64, **kwargs):
         del kwargs
-        super().__init__(get_images(image_size), with_idx=True)
+        super().__init__(get_images(image_size, self.factor_sizes),
+                         with_idx=True)
 
 
 class SyntheticShapes3DTrain(SyntheticShapes3D):
+    pass
+
+
+class SyntheticShapes3DFull(SyntheticShapes3D):
+    """The full 480,000-image grid with Shapes3D's exact factor sizes
+    [10,10,10,8,4,15] (shapes3d.py:44) — the quality-parity benchmark for
+    the BASELINE FactorVAE/DCI rows (pair with
+    ``eval_name: synthetic_shapes_full``). ~5.9 GB uint8: fits the
+    device-resident (<8 GB) input path."""
+
+    factor_sizes = FULL_FACTOR_SIZES
+
+
+class SyntheticShapes3DFullTrain(SyntheticShapes3DFull):
     pass

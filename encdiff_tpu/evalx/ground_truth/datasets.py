@@ -97,6 +97,19 @@ class SyntheticShapes(IndexBackedDataset):
                          observation_shape=(64, 64, 3))
 
 
+class SyntheticShapesFull(IndexBackedDataset):
+    """Procedural grid with Shapes3D's EXACT factor sizes [10,10,10,8,4,15]
+    (shapes3d.py:44) — 480,000 images; the quality-parity benchmark."""
+
+    N = 480_000
+
+    def __init__(self, images=None):
+        if images is None:
+            images = np.arange(self.N)
+        super().__init__(images, [10, 10, 10, 8, 4, 15],
+                         observation_shape=(64, 64, 3))
+
+
 class DummyData(GroundTruthData):
     """Random-noise image dataset for metric tests (dummy_data.py:47-70)."""
 

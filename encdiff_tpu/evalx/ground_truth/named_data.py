@@ -17,6 +17,7 @@ _REGISTRY = {
     "dsprites_full": datasets.DSprites,
     "smallnorb": datasets.SmallNORB,
     "synthetic_shapes": datasets.SyntheticShapes,
+    "synthetic_shapes_full": datasets.SyntheticShapesFull,
     "dummy_data": datasets.DummyData,
 }
 

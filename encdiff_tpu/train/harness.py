@@ -181,6 +181,9 @@ class Trainer:
         self.image_logger = None
         self.checkpoints: list[Any] = []
         self.swap_cb = None
+        self._encode_sweep = None
+        self._encode_sweep_shape = None
+        self._encode_sweep_order = None
         for name, cfg in cb_cfgs.items():
             try:
                 obj = instantiate_from_config(cfg)
@@ -393,7 +396,9 @@ class Trainer:
                 self.device_stats.on_epoch_end(epoch)
                 if (epoch + 1) % self.check_val_every_n_epoch == 0 \
                         or epoch == max_epochs - 1:
-                    val_metrics = self.validate(encode_fn, epoch, step)
+                    val_metrics = self.validate(
+                        encode_fn, epoch, step,
+                        images_dev=images_dev if use_dev_data else None)
                     for ck in self.checkpoints:
                         ck.maybe_save(self.save_checkpoint, step, epoch,
                                       metrics=val_metrics)
@@ -436,23 +441,55 @@ class Trainer:
             model, loss_obj, jax.random.PRNGKey(self.seed), gen_tx, disc_tx)
         repl = replicated(self.mesh)
         state = jax.device_put(state, repl)
-        step_fn = vq_trainer.build_vq_train_step(model, loss_obj, gen_tx,
-                                                 disc_tx, mesh=self.mesh)
         eval_fn = vq_trainer.build_vq_eval_step(model, loss_obj,
                                                 mesh=self.mesh)
         bsh = batch_sharding(self.mesh)
 
         self._vq_state = state
         train_ds = self.data._raw("train")
+        images_host = getattr(train_ds, "images", None)
+        use_dev_data = (self.device_data and images_host is not None
+                        and images_host.nbytes < 8e9)
+        if use_dev_data:
+            import jax.numpy as jnp
+
+            images_dev = jax.device_put(jnp.asarray(images_host), repl)
+            steps_per_epoch = len(train_ds) // self.batch_size
+            step_fn = vq_trainer.build_epoch_vq_train_step(
+                model, loss_obj, gen_tx, disc_tx, steps_per_epoch,
+                mesh=self.mesh)
+            print(f"[harness] dataset cached on device "
+                  f"({images_host.nbytes / 2**20:.0f} MiB), "
+                  f"{steps_per_epoch} steps/epoch on-device indexed")
+        else:
+            step_fn = vq_trainer.build_vq_train_step(model, loss_obj, gen_tx,
+                                                     disc_tx, mesh=self.mesh)
+
+        def batches(epoch):
+            if use_dev_data:
+                n = len(train_ds)
+                spe = n // self.batch_size
+                order = (np.random.RandomState(self.seed + epoch)
+                         .permutation(n)[: spe * self.batch_size]
+                         .astype(np.int32))
+                perm_dev = jax.device_put(order, repl)
+                for _ in range(spe):
+                    yield perm_dev
+            else:
+                yield from epoch_loader(train_ds, self.batch_size,
+                                        shuffle=True, seed=self.seed,
+                                        sharding=bsh, epoch=epoch)
+
         step = 0
         t0 = time.time()
         try:
             for epoch in range(max_epochs):
                 self.device_stats.on_epoch_start()
-                for batch in epoch_loader(train_ds, self.batch_size,
-                                          shuffle=True, seed=self.seed,
-                                          sharding=bsh, epoch=epoch):
-                    state, metrics = step_fn(state, batch)
+                for batch in batches(epoch):
+                    if use_dev_data:
+                        state, metrics = step_fn(state, images_dev, batch)
+                    else:
+                        state, metrics = step_fn(state, batch)
                     step += 1
                     if step % log_every == 0:
                         m = {k: float(v) for k, v in
@@ -465,7 +502,11 @@ class Trainer:
                         t0 = time.time()
                     if self.image_logger is not None and \
                             self.image_logger.check_frequency(step):
-                        x = np.asarray(jax.device_get(batch))[:8]
+                        if use_dev_data:
+                            x = images_host[np.random.RandomState(step)
+                                            .randint(0, len(train_ds), 8)]
+                        else:
+                            x = np.asarray(jax.device_get(batch))[:8]
                         xf = x.astype(np.float32) / 127.5 - 1.0 \
                             if x.dtype == np.uint8 else x
                         rec = np.asarray(model.reconstruct(
@@ -552,9 +593,14 @@ class Trainer:
 
         return fn
 
-    def validate(self, encode_fn, epoch: int, step: int) -> dict:
+    def validate(self, encode_fn, epoch: int, step: int,
+                 images_dev=None) -> dict:
         """Representation sweep + disentanglement metric battery
-        (ddpm_enc.py:378-425 -> main_val.py:38-96)."""
+        (ddpm_enc.py:378-425 -> main_val.py:38-96).
+
+        With ``images_dev`` (the device-resident training array) the sweep
+        runs as ONE dispatch (`build_encode_sweep`) and only the (N, U)
+        scalars cross the wire; otherwise batches stream host->device."""
         import jax
 
         from encdiff_tpu.parallel.mesh import batch_sharding
@@ -565,24 +611,44 @@ class Trainer:
         val_ds = self.data._raw("validation") if \
             "validation" in self.data.dataset_configs else \
             self.data._raw("train")
-        bsh = batch_sharding(self.mesh)
         bs = self.batch_size
         n = len(val_ds)
-        steps = n // bs
-        if self.val_batches:
-            steps = min(steps, self.val_batches)
-        reps = []
-        gather = getattr(val_ds, "batch_uint8", None)
-        order = np.arange(n)
-        for i in range(steps):
-            idx = order[i * bs:(i + 1) * bs]
-            hb = gather(idx) if gather is not None else np.stack(
-                [np.asarray(val_ds[int(j)]["image"]) for j in idx])
-            u = encode_fn(self.state, jax.device_put(hb, bsh))
-            reps.append(np.asarray(jax.device_get(u)))
-        if not reps:
-            return {}
-        reps = np.concatenate(reps, axis=0)
+        if images_dev is not None and n == images_dev.shape[0] \
+                and not self.val_batches:
+            from encdiff_tpu.parallel.mesh import replicated
+            from encdiff_tpu.train import loop as train_loop
+
+            chunk = min(2048, n)
+            n_chunks = -(-n // chunk)
+            if self._encode_sweep is None or \
+                    self._encode_sweep_shape != (n_chunks, chunk):
+                self._encode_sweep = train_loop.build_encode_sweep(
+                    self.model, n_chunks, chunk, mesh=self.mesh)
+                self._encode_sweep_shape = (n_chunks, chunk)
+                order = np.zeros(n_chunks * chunk, np.int32)
+                order[:n] = np.arange(n, dtype=np.int32)
+                self._encode_sweep_order = jax.device_put(
+                    order, replicated(self.mesh))
+            u = self._encode_sweep(self.state, images_dev,
+                                   self._encode_sweep_order)
+            reps = np.asarray(jax.device_get(u))[:n]
+        else:
+            bsh = batch_sharding(self.mesh)
+            steps = n // bs
+            if self.val_batches:
+                steps = min(steps, self.val_batches)
+            reps = []
+            gather = getattr(val_ds, "batch_uint8", None)
+            order = np.arange(n)
+            for i in range(steps):
+                idx = order[i * bs:(i + 1) * bs]
+                hb = gather(idx) if gather is not None else np.stack(
+                    [np.asarray(val_ds[int(j)]["image"]) for j in idx])
+                u = encode_fn(self.state, jax.device_put(hb, bsh))
+                reps.append(np.asarray(jax.device_get(u)))
+            if not reps:
+                return {}
+            reps = np.concatenate(reps, axis=0)
 
         from encdiff_tpu.evalx.eval_driver import eval_func
 

@@ -359,3 +359,32 @@ def build_encode_step(model, mesh=None):
     repl = replicated(mesh)
     bsh = batch_sharding(mesh)
     return jax.jit(encode, in_shardings=(repl, bsh), out_shardings=bsh)
+
+
+def build_encode_sweep(model, n_chunks: int, chunk: int, mesh=None):
+    """Whole-dataset representation extraction in ONE dispatch.
+
+    ``sweep(state, images, order)`` scans ``n_chunks`` encoder forwards over
+    a device-resident uint8 image array, gathering ``chunk`` rows per
+    iteration from ``order`` (a padded index vector of length
+    ``n_chunks*chunk``) and returning the stacked (n_chunks*chunk, U)
+    scalars on device. Replaces 1000s of per-batch host->device uploads in
+    the validation sweep — on tunneled/remote TPUs each of those costs a
+    full round-trip (BENCH_NOTES.md input-pipeline note)."""
+
+    def sweep(state: TrainState, images, order):
+        cond_vars = {"params": state.params["cond"],
+                     "batch_stats": state.batch_stats}
+
+        def body(_, idx):
+            batch = jnp.take(images, idx, axis=0)
+            return None, model.cond_encoding(cond_vars, _as_images(batch))
+
+        _, us = jax.lax.scan(body, None, order.reshape(n_chunks, chunk))
+        return us.reshape(n_chunks * chunk, -1)
+
+    if mesh is None:
+        return jax.jit(sweep)
+    repl = replicated(mesh)
+    return jax.jit(sweep, in_shardings=(repl, repl, repl),
+                   out_shardings=repl)

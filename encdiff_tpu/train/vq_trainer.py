@@ -69,9 +69,9 @@ def create_vq_train_state(vqmodel, loss_obj, rng, gen_tx, disc_tx,
     )
 
 
-def build_vq_train_step(vqmodel, loss_obj, gen_tx, disc_tx, mesh=None,
-                        donate: bool = True):
-    """Returns ``step(state, batch) -> (state, metrics)``."""
+def _make_vq_step_body(vqmodel, loss_obj, gen_tx, disc_tx):
+    """The un-jitted two-optimizer step body shared by the streaming and
+    device-resident step builders."""
     module = vqmodel.module
     out_ch = vqmodel.ddconfig["out_ch"]
     conv_out = TorchConv(out_ch, 3, padding=1, dtype=module.dtype)
@@ -126,11 +126,41 @@ def build_vq_train_step(vqmodel, loss_obj, gen_tx, disc_tx, mesh=None,
             loss_vars=state.loss_vars, gen_opt=gen_opt, disc_opt=disc_opt)
         return new_state, metrics
 
+    return step_fn
+
+
+def build_vq_train_step(vqmodel, loss_obj, gen_tx, disc_tx, mesh=None,
+                        donate: bool = True):
+    """Returns ``step(state, batch) -> (state, metrics)``."""
+    step_fn = _make_vq_step_body(vqmodel, loss_obj, gen_tx, disc_tx)
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
     repl = replicated(mesh)
     bsh = batch_sharding(mesh)
     return jax.jit(step_fn, in_shardings=(repl, bsh),
+                   out_shardings=(repl, repl),
+                   donate_argnums=(0,) if donate else ())
+
+
+def build_epoch_vq_train_step(vqmodel, loss_obj, gen_tx, disc_tx,
+                              steps_per_epoch: int, mesh=None,
+                              donate: bool = True):
+    """Device-resident variant: ``step(state, images, perm)`` slices its
+    batch indices from the on-device epoch permutation at
+    ``state.step % steps_per_epoch`` — ONE dispatch per step, no per-batch
+    host->device upload (same pattern as loop.build_epoch_train_step)."""
+    inner = _make_vq_step_body(vqmodel, loss_obj, gen_tx, disc_tx)
+
+    def step_fn(state: VQTrainState, images, perm):
+        i = (state.step % steps_per_epoch).astype(jnp.int32)
+        b = perm.shape[0] // steps_per_epoch
+        idx = jax.lax.dynamic_slice(perm, (i * b,), (b,))
+        return inner(state, jnp.take(images, idx, axis=0))
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+    repl = replicated(mesh)
+    return jax.jit(step_fn, in_shardings=(repl, repl, repl),
                    out_shardings=(repl, repl),
                    donate_argnums=(0,) if donate else ())
 

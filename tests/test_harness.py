@@ -160,3 +160,38 @@ def test_harness_vq_gan_end_to_end(tmp_path):
         "-l", logdir, "-s", "3", "--val_batches", "1"])
     assert int(np.asarray(trainer.state.step)) == 2
     assert os.path.isdir(os.path.join(trainer.logdir, "checkpoints", "last"))
+
+
+def test_synthetic_full_grid_layout_and_registry():
+    """The generalized renderer keeps the row-major index layout and every
+    factor has a visible pixel effect; the full-grid ground-truth dataset is
+    registered with Shapes3D's exact factor table (shapes3d.py:44)."""
+    import numpy as np
+
+    from encdiff_tpu.data import synthetic_shapes as ss
+    from encdiff_tpu.evalx.ground_truth.named_data import (
+        get_named_ground_truth_data)
+
+    sizes = [3, 3, 3, 2, 2, 3]            # tiny grid, same code path
+    imgs = ss.render_all(size=32, factor_sizes=sizes)
+    assert imgs.shape == (int(np.prod(sizes)), 32, 32, 3)
+    assert imgs.dtype == np.uint8
+
+    bases = np.concatenate(
+        [np.cumprod(sizes[::-1])[::-1][1:], [1]]).astype(np.int64)
+    base_f = np.array([1, 1, 1, 1, 1, 1])
+    i0 = int(base_f @ bases)
+    for k in range(6):
+        f = base_f.copy()
+        f[k] = (f[k] + 1) % sizes[k]
+        assert (imgs[i0] != imgs[int(f @ bases)]).any(), \
+            f"factor {ss.FACTOR_NAMES[k]} has no pixel effect"
+
+    gt = get_named_ground_truth_data("synthetic_shapes_full")
+    assert gt.factors_num_values == [10, 10, 10, 8, 4, 15]
+    assert len(gt.images) == 480_000
+    # index trick: observations are the indices themselves
+    rs = np.random.RandomState(0)
+    factors = gt.sample_factors(5, rs)
+    obs = gt.sample_observations_from_factors(factors, rs)
+    assert obs.shape == (5,)

@@ -210,3 +210,67 @@ def test_remat_flag_changes_nothing_numerically():
         _, m = step(state, frozen, batch, jax.random.PRNGKey(1))
         losses.append(float(m["train/loss"]))
     np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)
+
+
+def test_encode_sweep_matches_per_batch_encode(trained_bits):
+    """build_encode_sweep (one-dispatch whole-dataset scan) must equal the
+    streaming per-batch encode, including the pad-and-slice tail."""
+    import jax
+    import jax.numpy as jnp
+
+    from encdiff_tpu.train import loop as train_loop
+
+    model, optimizer, state, frozen = trained_bits
+    n, chunk = 10, 4                      # non-divisible: exercises padding
+    images = np.random.RandomState(2).randint(
+        0, 256, size=(n, 32, 32, 3), dtype=np.uint8)
+
+    encode_fn = train_loop.build_encode_step(model)
+    want = np.asarray(encode_fn(state, images))
+
+    n_chunks = -(-n // chunk)
+    order = np.zeros(n_chunks * chunk, np.int32)
+    order[:n] = np.arange(n, dtype=np.int32)
+    sweep = train_loop.build_encode_sweep(model, n_chunks, chunk)
+    got = np.asarray(sweep(state, jnp.asarray(images), jnp.asarray(order)))[:n]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_epoch_vq_step_matches_streaming_step():
+    """Device-resident VQ step (images+perm slicing) must reproduce the
+    streaming step's metrics for the same batch."""
+    import jax
+    import jax.numpy as jnp
+
+    from encdiff_tpu.core.config import instantiate_from_config
+    from encdiff_tpu.losses.gan import VQLPIPSWithDiscriminator
+    from encdiff_tpu.train import vq_trainer
+
+    vq = instantiate_from_config({
+        "target": "encdiff_tpu.models.autoencoder.VQModel",
+        "params": {"embed_dim": 3, "n_embed": 64, "ddconfig": {
+            "double_z": False, "z_channels": 3, "resolution": 32,
+            "in_channels": 3, "out_ch": 3, "ch": 32, "ch_mult": [1, 2],
+            "num_res_blocks": 1, "attn_resolutions": [], "dropout": 0.0}}})
+    loss = VQLPIPSWithDiscriminator(disc_start=0, perceptual_weight=0.0)
+    gen_tx, disc_tx = vq_trainer.make_optimizers(1e-4)
+    state = vq_trainer.create_vq_train_state(
+        vq, loss, jax.random.PRNGKey(0), gen_tx, disc_tx,
+        image_resolution=32)
+
+    images = np.random.RandomState(3).randint(
+        0, 256, size=(8, 32, 32, 3), dtype=np.uint8)
+    perm = np.arange(8, dtype=np.int32)   # 2 steps/epoch x bs 4
+
+    stream = vq_trainer.build_vq_train_step(vq, loss, gen_tx, disc_tx,
+                                            donate=False)
+    _, m_want = stream(state, images[perm[:4]])
+
+    epoch_fn = vq_trainer.build_epoch_vq_train_step(
+        vq, loss, gen_tx, disc_tx, steps_per_epoch=2, donate=False)
+    _, m_got = epoch_fn(state, jnp.asarray(images), jnp.asarray(perm))
+
+    for k in m_want:
+        np.testing.assert_allclose(float(m_got[k]), float(m_want[k]),
+                                   rtol=1e-5, atol=1e-6,
+                                   err_msg=k)
