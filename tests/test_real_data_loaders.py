@@ -1,0 +1,250 @@
+"""Real-file-format loader tests with generated fixtures.
+
+The reference loads 3dshapes.h5 (disdata.py:45-97), mpi3d_toy.npz
+(disdata.py:244-283), Cars3D .mat meshes (disdata.py:336-440) and CelebA
+LMDB with the d2c crop (disdata.py:484-594). These tests generate tiny
+files in each real format so the actual h5py/npz/mat/lmdb parsing paths run
+in a zero-egress environment.
+"""
+
+import io
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def root(tmp_path, monkeypatch):
+    monkeypatch.setenv("ENCDIFF_DATA_ROOT", str(tmp_path))
+    return tmp_path
+
+
+def _check_dataset(ds, n, size=64):
+    assert len(ds) == n
+    item = ds[0]
+    img = np.asarray(item["image"])
+    assert img.shape == (size, size, 3)
+    assert img.dtype == np.float32
+    assert img.min() >= -1.0 and img.max() <= 1.0
+    batch = ds.batch_uint8(np.array([0, n - 1]))
+    assert batch.shape == (2, size, size, 3) and batch.dtype == np.uint8
+
+
+def test_shapes3d_h5(root):
+    h5py = pytest.importorskip("h5py")
+    from encdiff_tpu.data.datasets import Shapes3D, Shapes3DTrain
+
+    d = root / "shapes3d"
+    d.mkdir()
+    rs = np.random.RandomState(0)
+    images = rs.randint(0, 256, size=(24, 64, 64, 3), dtype=np.uint8)
+    labels = rs.rand(24, 6)
+    with h5py.File(d / "3dshapes.h5", "w") as f:
+        f.create_dataset("images", data=images)
+        f.create_dataset("labels", data=labels)     # present in the real file
+
+    ds = Shapes3D()
+    _check_dataset(ds, 24)
+    np.testing.assert_array_equal(ds.images, images)
+    # the env-rooted *Train subclass hits the same file
+    _check_dataset(Shapes3DTrain(), 24)
+
+
+def test_shapes3d_npz_fallback(root):
+    from encdiff_tpu.data.datasets import Shapes3D
+
+    d = root / "shapes3d"
+    d.mkdir()
+    images = np.random.RandomState(1).randint(
+        0, 256, size=(10, 64, 64, 3), dtype=np.uint8)
+    np.savez(d / "3dshapes.npz", images=images)
+    ds = Shapes3D()
+    _check_dataset(ds, 10)
+    np.testing.assert_array_equal(ds.images, images)
+
+
+def test_shapes3d_missing_file_error(root):
+    from encdiff_tpu.data.datasets import Shapes3D
+
+    with pytest.raises(FileNotFoundError):
+        Shapes3D()
+
+
+def test_mpi3d_npz(root):
+    from encdiff_tpu.data.datasets import MPI3D, MPI3DTrain
+
+    d = root / "mpi3d"
+    d.mkdir()
+    images = np.random.RandomState(2).randint(
+        0, 256, size=(18, 64, 64, 3), dtype=np.uint8)
+    np.savez(d / "mpi3d_toy.npz", images=images)
+    _check_dataset(MPI3D(), 18)
+    _check_dataset(MPI3DTrain(), 18)
+
+
+def test_cars3d_mat(root):
+    """Real scipy.io .mat parsing: 'im' tensor (128,128,3,24,4) per mesh
+    (disdata.py:363-395); frames land at the disentanglement_lib factor
+    order via features_to_index."""
+    sio = pytest.importorskip("scipy.io")
+    from encdiff_tpu.data.datasets import Cars3D, features_to_index
+
+    d = root / "cars"
+    d.mkdir()
+    rs = np.random.RandomState(3)
+    meshes = []
+    for i in range(2):
+        im = rs.randint(0, 256, size=(128, 128, 3, 24, 4), dtype=np.uint8)
+        sio.savemat(str(d / f"car_{i:03d}.mat"), {"im": im})
+        meshes.append(im)
+
+    ds = Cars3D(test=True)   # skip the x10 train repeat
+    assert len(ds) == 4 * 24 * 183
+    item = ds[0]
+    assert np.asarray(item["image"]).shape == (64, 64, 3)
+
+    # a populated mesh-0 frame must be non-zero; an absent mesh index all-zero
+    idx_present = int(features_to_index(np.array([[0, 0, 0]]))[0])
+    idx_absent = int(features_to_index(np.array([[0, 0, 100]]))[0])
+    assert ds.images[idx_present].any()
+    assert not ds.images[idx_absent].any()
+
+    # second construction uses the npz cache (same content)
+    assert (d / "_cars3d_cache.npz").exists()
+    ds2 = Cars3D(test=True)
+    np.testing.assert_array_equal(ds.images, ds2.images)
+
+
+def _make_fake_lmdb(store):
+    """A minimal stand-in for the lmdb module backed by a dict — exercises
+    the real decode loop (key format, d2c crop, resize) without the
+    C lmdb package."""
+    class _Txn:
+        def get(self, key):
+            return store[key]
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    class _Env:
+        def begin(self, write=False):
+            return _Txn()
+
+    mod = types.ModuleType("lmdb")
+    mod.open = lambda *a, **kw: _Env()
+    return mod
+
+
+def test_celeba_lmdb_decode(root, monkeypatch):
+    """The LMDB decode path: '<res>-<idx05>' JPEG keys + optional d2c crop
+    (disdata.py:541-594)."""
+    from PIL import Image
+
+    d = root / "celeba"
+    d.mkdir()
+    rs = np.random.RandomState(4)
+    n, res = 3, 128
+    store = {b"length": str(n).encode()}
+    raw = []
+    for i in range(n):
+        arr = rs.randint(0, 256, size=(res, res, 3), dtype=np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        store[f"{res}-{str(i).zfill(5)}".encode()] = buf.getvalue()
+        raw.append(arr)
+
+    monkeypatch.setitem(sys.modules, "lmdb", _make_fake_lmdb(store))
+    from encdiff_tpu.data.datasets import CelebAlmdb
+
+    ds = CelebAlmdb(image_size=64, original_resolution=res)
+    _check_dataset(ds, n)
+    # PNG round-trip + LANCZOS 128->64 of the first image
+    want = np.array(Image.fromarray(raw[0]).resize((64, 64), Image.LANCZOS))
+    np.testing.assert_array_equal(ds.images[0], want)
+
+    ds_crop = CelebAlmdb(image_size=64, original_resolution=res,
+                         crop_d2c=True)
+    assert len(ds_crop) == n
+    assert not np.array_equal(ds_crop.images[0], ds.images[0])
+
+
+def test_celeba_npy_fallback(root):
+    from encdiff_tpu.data.datasets import CelebAlmdb, CelebaTrain
+
+    d = root / "celeba"
+    d.mkdir()
+    images = np.random.RandomState(5).randint(
+        0, 256, size=(6, 64, 64, 3), dtype=np.uint8)
+    np.save(d / "celeba_64.npy", images)
+    _check_dataset(CelebAlmdb(image_size=64), 6)
+    _check_dataset(CelebaTrain(image_size=64), 6)
+
+
+def test_celeba_missing_everything_error(root):
+    (root / "celeba").mkdir()
+    import encdiff_tpu.data.datasets as dsets
+
+    if "lmdb" in sys.modules and not isinstance(
+            sys.modules["lmdb"], types.ModuleType):
+        del sys.modules["lmdb"]
+    try:
+        import lmdb  # noqa: F401
+        pytest.skip("real lmdb installed; decode path would run instead")
+    except ImportError:
+        pass
+    with pytest.raises(FileNotFoundError):
+        dsets.CelebAlmdb(image_size=64)
+
+
+def test_clevr_npz_and_lsun_npy(root):
+    from encdiff_tpu.data.datasets import Clevr, LSUNchurch
+
+    d = root / "clevr_npz"
+    d.mkdir()
+    images = np.random.RandomState(6).randint(
+        0, 256, size=(5, 64, 64, 3), dtype=np.uint8)
+    np.savez(d / "data.npz", images=images)
+    _check_dataset(Clevr(), 5)
+
+    np.save(root / "church_outdoor_train_lmdb_color_64.npy", images)
+    _check_dataset(LSUNchurch(), 5)
+
+
+def test_image_folder_datasets(root):
+    from PIL import Image
+
+    from encdiff_tpu.data.datasets import AFHQ, Flower
+
+    rs = np.random.RandomState(7)
+    for sub in ["flowers", "afhq/train"]:
+        d = root / sub
+        d.mkdir(parents=True)
+        for i in range(3):
+            Image.fromarray(rs.randint(0, 256, size=(80, 80, 3),
+                                       dtype=np.uint8)).save(
+                d / f"img_{i}.png")
+    _check_dataset(Flower(image_size=64), 3)
+    _check_dataset(AFHQ(image_size=64, split="train"), 3)
+
+
+def test_sd_pair_datasets(root):
+    import h5py
+
+    from encdiff_tpu.data.datasets import Shapes3D_SD
+
+    d = root / "shapes3d"
+    d.mkdir()
+    images = np.random.RandomState(8).randint(
+        0, 256, size=(4, 64, 64, 3), dtype=np.uint8)
+    with h5py.File(d / "3dshapes.h5", "w") as f:
+        f.create_dataset("images", data=images)
+    ds = Shapes3D_SD(sd_size=128)
+    item = ds[1]
+    assert np.asarray(item["image"]).shape == (64, 64, 3)
+    assert np.asarray(item["image_512"]).shape == (128, 128, 3)
