@@ -1,13 +1,22 @@
-"""Benchmark: flagship EncDiff train step throughput on one chip.
+"""Benchmark: flagship EncDiff throughput on one chip — full north-star set.
 
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
 
-Primary metric (BASELINE.json): UNet denoise train steps/sec/chip at the
-reference's flagship setup — Shapes3D 64px images, bs=128, VQ-4-16 first
-stage, 20 concept tokens, full jitted train step (frozen VQ encode +
-Encoder4 + UNet eps-loss + AdamW + EMA). The reference publishes no
-throughput numbers (SURVEY.md §6), so vs_baseline is reported against the
-recorded value of the previous round when available (BENCH_r*.json), else 1.0.
+Metrics (BASELINE.json north stars):
+  - value: UNet denoise train steps/sec/chip at the reference's flagship
+    setup — Shapes3D 64px images, bs=128, VQ-4-16 first stage, 20 concept
+    tokens, full jitted train step (frozen VQ encode + Encoder4 + UNet
+    eps-loss + AdamW + EMA).
+  - extra.ddim200_samples_per_s: DDIM 200-step sampling + VQ decode
+    throughput (the ">5x A100" comparison point; protocol parity with
+    ddpm_enc.py:1474 / generate_swap_all.py:91).
+  - extra.train_tflops_per_s / extra.train_mfu: achieved model FLOP/s of
+    the train step via XLA cost analysis, against the chip's peak.
+
+The reference publishes no throughput numbers (SURVEY.md §6), so
+vs_baseline compares against the previous round's recorded value
+(BENCH_r*.json), else 1.0.
 """
 
 from __future__ import annotations
@@ -33,10 +42,29 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 BATCH = int(os.environ.get("BENCH_BATCH", "128"))
 WARMUP = 3
 ITERS = int(os.environ.get("BENCH_ITERS", "20"))
+SAMPLE_ITERS = int(os.environ.get("BENCH_SAMPLE_ITERS", "3"))
+DDIM_STEPS = int(os.environ.get("BENCH_DDIM_STEPS", "200"))
 # bf16 activations / fp32 params measured faster at the flagship batch
 # (58.3 vs 55.6 steps/s at bs=128; see BENCH_NOTES.md). BENCH_DTYPE=float32
 # selects the bit-parity mode.
 DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
+# Skip the secondary metrics (DDIM + cost analysis) for quick runs.
+FULL = os.environ.get("BENCH_FULL", "1") == "1"
+
+# Peak dense matmul throughput per chip for MFU. v5e: 197 TFLOP/s bf16,
+# 98.5 fp32 (public spec). Overridable for other chip generations.
+PEAK_TFLOPS = float(os.environ.get(
+    "BENCH_PEAK_TFLOPS", "197" if DTYPE == "bfloat16" else "98.5"))
+
+
+def _flops_of(compiled) -> float:
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0))
+    except Exception:
+        return 0.0
 
 
 def main():
@@ -60,17 +88,85 @@ def main():
         .astype(np.float32))
     rngs = [jax.random.PRNGKey(i) for i in range(WARMUP + ITERS)]
 
+    # Arg specs for the post-timing cost analysis (donation invalidates the
+    # concrete state, and compiling anything extra BEFORE the timed loop is
+    # forbidden: on the remote-compile tunnel, .compile() returns before the
+    # backend finishes, and the timed steps queue behind the stray compile).
+    specs = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
+        (state, frozen, batch, rngs[0]))
+
     for i in range(WARMUP):
         state, metrics = step_fn(state, frozen, batch, rngs[i])
-    jax.block_until_ready(metrics)
+    # full host fetch, not block_until_ready: the tunnel backend's
+    # block_until_ready returns before execution completes
+    jax.device_get(metrics)
 
     t0 = time.perf_counter()
     for i in range(ITERS):
         state, metrics = step_fn(state, frozen, batch, rngs[WARMUP + i])
-    jax.block_until_ready(metrics)
+    jax.device_get(metrics)
     dt = time.perf_counter() - t0
 
+    train_flops = 0.0
+    if FULL:
+        try:
+            train_flops = _flops_of(
+                jax.jit(step_fn, donate_argnums=())
+                .lower(*specs).compile())
+        except Exception:
+            train_flops = 0.0
+
     steps_per_s = ITERS / dt
+    extra = {
+        "images_per_s": round(steps_per_s * BATCH, 1),
+        "batch": BATCH,
+        "dtype": DTYPE,
+    }
+    if train_flops > 0:
+        tflops = train_flops * steps_per_s / 1e12
+        extra["train_tflops_per_s"] = round(tflops, 2)
+        extra["train_mfu"] = round(tflops / PEAK_TFLOPS, 4)
+
+    # --- DDIM 200-step sampling + VQ decode (north star #2) ---
+    if FULL:
+        from encdiff_tpu.core.schedules import DDIMSchedule
+        from encdiff_tpu.diffusion import ddim as ddim_lib
+
+        cond_vars = {"params": state.params["cond"],
+                     "batch_stats": state.batch_stats}
+        dsched = DDIMSchedule.create(model.schedule, DDIM_STEPS, eta=1.0)
+
+        def sample_fn(unet_params, cond_vars, fs_vars, images, rng):
+            u = model.cond_encoding(cond_vars, images)
+            tokens = model.cond_warp(cond_vars, u)
+            if tokens.ndim == 3:
+                tokens = tokens.reshape(tokens.shape[0], -1)
+            shape = (BATCH, model.image_size, model.image_size,
+                     model.channels)
+            denoise = lambda x, t: model.apply_model(
+                {"params": unet_params}, x, t, tokens)
+            z, _ = ddim_lib.ddim_sample(dsched, denoise, shape, rng)
+            return model.decode_first_stage(fs_vars, z, scale_factor=1.0)
+
+        sample_jit = jax.jit(sample_fn)
+        args = (state.params["unet"], cond_vars,
+                frozen["first_stage"], batch, jax.random.PRNGKey(7))
+        out = sample_jit(*args)
+        np.asarray(out)  # full host fetch: the remote-tunnel backend's
+        # block_until_ready returns before execution completes
+        t0 = time.perf_counter()
+        for i in range(SAMPLE_ITERS):
+            out = sample_jit(args[0], args[1], args[2], batch,
+                             jax.random.PRNGKey(11 + i))
+        np.asarray(out)
+        ddt = time.perf_counter() - t0
+        extra["ddim200_samples_per_s"] = round(SAMPLE_ITERS * BATCH / ddt, 1)
+        sample_flops = _flops_of(sample_jit.lower(*args).compile())
+        if sample_flops > 0:
+            stflops = sample_flops * SAMPLE_ITERS / ddt / 1e12
+            extra["ddim_tflops_per_s"] = round(stflops, 2)
+            extra["ddim_mfu"] = round(stflops / PEAK_TFLOPS, 4)
 
     prev = None
     for f in sorted(glob.glob(os.path.join(os.path.dirname(__file__),
@@ -78,8 +174,9 @@ def main():
         try:
             with open(f) as fh:
                 rec = json.load(fh)
-            if rec.get("unit", "").startswith("train_steps"):
-                prev = rec.get("value")
+            parsed = rec.get("parsed", rec)
+            if parsed.get("unit", "").startswith("train_steps"):
+                prev = parsed.get("value")
         except Exception:
             pass
     vs = steps_per_s / prev if prev else 1.0
@@ -89,6 +186,7 @@ def main():
         "value": round(steps_per_s, 3),
         "unit": "train_steps/sec/chip",
         "vs_baseline": round(vs, 3),
+        "extra": extra,
     }))
 
 

@@ -8,10 +8,14 @@ sum over layers.
 
 Pretrained weights are NOT bundled (zero-egress build). ``load_torch_lpips``
 ingests the standard torch checkpoints (torchvision ``vgg16`` state_dict +
-taming ``vgg.pth`` lin weights) when the user supplies them; without weights
-the module runs with random init — architecture-correct but uncalibrated, so
-training configs should set ``perceptual_weight: 0`` in that case (the
-orchestrator warns).
+taming ``vgg.pth`` lin weights) when the user supplies them (point
+``ENCDIFF_LPIPS_VGG`` / ``ENCDIFF_LPIPS_LIN`` at the files, or call the
+loader directly). Without them, ``init_variables`` falls back to a
+**calibrated random-features** mode: fixed-seed random VGG trunk + lin heads
+pinned to uniform positive 1/C — i.e. the mean unit-normalized feature
+distance. Random conv features are an established perceptual metric (the
+distance is nonnegative and structure-sensitive), so ``perceptual_weight > 0``
+is sound in this mode, just not bit-comparable to taming's calibrated LPIPS.
 """
 
 from __future__ import annotations
@@ -84,6 +88,17 @@ class LPIPSModule(nn.Module):
         return total  # (B,)
 
 
+def calibrate_random_features(variables):
+    """Pin the five lin heads to uniform positive 1/C so lpips(x, y) is the
+    nonnegative mean unit-normalized feature distance (random-features
+    perceptual metric). Loaded torch weights overwrite this."""
+    params = jax.tree_util.tree_map(lambda x: x, variables["params"])
+    for k, c in enumerate(VGG_CHANNELS):
+        params[f"lin{k}"]["Conv_0"]["kernel"] = jnp.full(
+            (1, 1, c, 1), 1.0 / c, jnp.float32)
+    return {"params": params}
+
+
 class LPIPS:
     """Orchestrator: init / torch-weight ingestion / pure apply."""
 
@@ -91,8 +106,21 @@ class LPIPS:
         self.module = LPIPSModule(dtype=dtype)
 
     def init_variables(self, rng, image_size: int = 64):
+        import os
+
         x = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
-        return self.module.init(rng, x, x)
+        # fixed trunk seed: the random-features metric must be identical
+        # across restarts/hosts regardless of the caller's rng
+        variables = self.module.init(jax.random.PRNGKey(1830), x, x)
+        vgg_path = os.environ.get("ENCDIFF_LPIPS_VGG")
+        lin_path = os.environ.get("ENCDIFF_LPIPS_LIN")
+        if vgg_path and lin_path:
+            import torch
+
+            vgg_state = torch.load(vgg_path, map_location="cpu")
+            lin_state = torch.load(lin_path, map_location="cpu")
+            return load_torch_lpips(variables, vgg_state, lin_state)
+        return calibrate_random_features(variables)
 
     def __call__(self, variables, x, y):
         return self.module.apply(variables, x, y)
@@ -106,15 +134,17 @@ def load_torch_lpips(variables, vgg_state: dict, lin_state: dict):
         return np.asarray(getattr(t, "detach", lambda: t)()).astype(np.float32)
 
     params = jax.tree_util.tree_map(lambda x: x, variables["params"])  # copy
-    # torchvision vgg16.features conv layer indices
+    # torchvision vgg16.features conv layer indices; TorchConv wraps an
+    # inner flax Conv submodule, hence the trailing "Conv_0" path segment
     tv_idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
     for k, tvi in enumerate(tv_idx):
         w = _np(vgg_state[f"features.{tvi}.weight"])  # (O,I,kh,kw)
         b = _np(vgg_state[f"features.{tvi}.bias"])
-        params["vgg"][f"conv_{k}"]["kernel"] = jnp.asarray(
+        params["vgg"][f"conv_{k}"]["Conv_0"]["kernel"] = jnp.asarray(
             w.transpose(2, 3, 1, 0))
-        params["vgg"][f"conv_{k}"]["bias"] = jnp.asarray(b)
+        params["vgg"][f"conv_{k}"]["Conv_0"]["bias"] = jnp.asarray(b)
     for k in range(5):
         w = _np(lin_state[f"lin{k}.model.1.weight"])  # (1,C,1,1)
-        params[f"lin{k}"]["kernel"] = jnp.asarray(w.transpose(2, 3, 1, 0))
+        params[f"lin{k}"]["Conv_0"]["kernel"] = jnp.asarray(
+            w.transpose(2, 3, 1, 0))
     return {"params": params}

@@ -260,7 +260,7 @@ class LatentDiffusion(DDPM):
 
     # --- loss (the hot path; called under value_and_grad) --------------------
     def loss_fn(self, trainable, frozen, batch, rng, scale_factor,
-                train: bool = True):
+                train: bool = True, with_mcl: bool = True):
         """One DDPM training loss evaluation (ddpm_enc.py:1018-1056,
         1183-1253 path).
 
@@ -268,6 +268,9 @@ class LatentDiffusion(DDPM):
                     [, "logvar"][, "mcl"]}
         frozen:    {"first_stage": vars, "cond_batch_stats": batch_stats}
         batch:     (B,H,W,3) images in [-1,1], HWC.
+        ``with_mcl=False`` omits the MCL term even when configured — the
+        split-program mode (loop.build_split_mcl_train_step) computes it in
+        a second, smaller XLA program.
         Returns (loss, (loss_dict, new_batch_stats)).
         """
         t_rng, n_rng, mcl_rng = jax.random.split(rng, 3)
@@ -309,7 +312,7 @@ class LatentDiffusion(DDPM):
             l_simple_weight=self.l_simple_weight,
             original_elbo_weight=self.original_elbo_weight, prefix=prefix)
 
-        if self.use_mcl and self.lambda_mcl > 0:
+        if self.use_mcl and self.lambda_mcl > 0 and with_mcl:
             from encdiff_tpu.losses.mcl import mcl_loss
 
             def decoder_G(zz, uu):
@@ -332,6 +335,41 @@ class LatentDiffusion(DDPM):
             loss_dict[f"{prefix}/loss"] = loss
 
         return loss, (loss_dict, new_stats)
+
+    def mcl_loss_fn(self, trainable, frozen, batch, rng, scale_factor,
+                    prefix: str = "train"):
+        """The MCL term alone: lambda_mcl * mcl_loss, differentiable wrt
+        {cond, mcl} (the unet subtree is untouched -> zero grads). Used by
+        the split-program train step so the UNet fwd+bwd and the
+        nested-grad decoder programs are compiled (and, on remote-compile
+        tunnels, shipped) separately. Normalization uses batch statistics
+        (train semantics) so gradients match the fused program bit-for-bit;
+        running-stat updates are discarded (the fused/diffusion program owns
+        them). Returns (lambda*mcl, loss_dict)."""
+        from encdiff_tpu.losses.mcl import mcl_loss
+
+        _, _, mcl_rng = jax.random.split(rng, 3)
+        if jnp.issubdtype(batch.dtype, jnp.integer):
+            x = batch.astype(jnp.float32) / 127.5 - 1.0
+        else:
+            x = batch.astype(jnp.float32)
+        fs_vars = frozen["first_stage"]
+        z = self.encode_first_stage(fs_vars, x)
+        z = self.get_first_stage_encoding(z, scale_factor)
+        cond_vars = {"params": trainable["cond"],
+                     "batch_stats": frozen["cond_batch_stats"]}
+        _, u, _ = self.get_learned_conditioning(cond_vars, x, train=True)
+
+        def decoder_G(zz, uu):
+            return self.decode_first_stage(
+                fs_vars, zz, disentangled_repr=uu, scale_factor=scale_factor)
+
+        mcl_val = mcl_loss(
+            loss_type=self.mcl_type, decoder_G=decoder_G, z=z, u_key=u,
+            modules=self.mcl_modules, params=trainable.get("mcl"),
+            rng=mcl_rng, tau=self.mcl_tau, sigma=self.mcl_sigma,
+            neg_mode=self.mcl_neg_mode)
+        return self.lambda_mcl * mcl_val, {f"{prefix}/loss_mcl": mcl_val}
 
     # --- scale-by-std (ddpm_enc.py on_train_batch_start) ---------------------
     def compute_scale_factor(self, variables, batch):

@@ -304,7 +304,23 @@ class Trainer:
         images_host = getattr(self.data._raw("train"), "images", None)
         use_dev_data = (self.device_data and images_host is not None
                         and images_host.nbytes < 8e9)
-        if use_dev_data:
+        # Split-program MCL mode for remote-compile tunnels whose HTTP body
+        # limit (~8 MB) rejects the fused MCL step's HLO (BENCH_NOTES.md).
+        # auto: split only when running on the tunneled "axon" backend.
+        split_pref = os.environ.get("ENCDIFF_SPLIT_MCL", "auto")
+        use_split_mcl = (
+            getattr(model, "use_mcl", False)
+            and getattr(model, "lambda_mcl", 0.0) > 0
+            and (split_pref == "1"
+                 or (split_pref == "auto"
+                     and jax.default_backend() == "axon")))
+        if use_split_mcl:
+            use_dev_data = False  # split mode is streaming-signature only
+            step_fn = train_loop.build_split_mcl_train_step(
+                model, optimizer, mesh=self.mesh)
+            print("[harness] MCL split-program train step "
+                  f"(ENCDIFF_SPLIT_MCL={split_pref})")
+        elif use_dev_data:
             # whole dataset + epoch permutation resident in HBM; one
             # dispatch per step, rng folded in on device
             import jax.numpy as jnp
@@ -593,6 +609,120 @@ class Trainer:
 
         return fn
 
+    def _ensure_state(self):
+        """Build (and optionally restore) train state outside fit() — the
+        eval-only path (`-r <run>` without `-t`)."""
+        import jax
+
+        from encdiff_tpu.parallel.mesh import replicated
+        from encdiff_tpu.train import loop as train_loop
+
+        if getattr(self, "state", None) is not None:
+            return
+        optimizer = train_loop.build_optimizer(self.model,
+                                               self.learning_rate)
+        self.state, self.frozen = train_loop.create_train_state(
+            self.model, jax.random.PRNGKey(self.seed), optimizer,
+            image_resolution=self._image_resolution())
+        if getattr(self, "_resume_ckpt", None):
+            self.restore_checkpoint(self._resume_ckpt)
+        repl = replicated(self.mesh)
+        self.state = jax.device_put(self.state, repl)
+        self.frozen = jax.device_put(self.frozen, repl)
+
+    def test(self) -> dict:
+        """Post-fit evaluation pass — ``trainer.test`` parity
+        (main_val.py:872-873). LDM models run the full representation
+        sweep + disentanglement battery on the current (or restored)
+        weights; VQ models run the validation reconstruction metrics.
+        Results land in ``<logdir>/test_results.json`` (and, for LDM,
+        ``metrics_sin/{step}.json`` via the eval driver)."""
+        import json
+
+        import jax
+
+        from encdiff_tpu.models.autoencoder import AutoencoderKL, VQModel
+        from encdiff_tpu.parallel.mesh import batch_sharding
+        from encdiff_tpu.train import loop as train_loop
+        from encdiff_tpu.train.data import epoch_loader
+
+        os.makedirs(self.logdir, exist_ok=True)
+        out_path = os.path.join(self.logdir, "test_results.json")
+
+        if isinstance(self.model, (VQModel, AutoencoderKL)):
+            from encdiff_tpu.train import vq_trainer
+
+            state = getattr(self, "_vq_state", None)
+            if state is None:
+                print("[harness] test: no trained VQ state; skipping")
+                return {}
+            loss_obj = self.model.loss
+            if loss_obj is None:
+                from encdiff_tpu.losses.gan import VQLPIPSWithDiscriminator
+
+                loss_obj = VQLPIPSWithDiscriminator(disc_start=0,
+                                                    perceptual_weight=0.0)
+            eval_fn = vq_trainer.build_vq_eval_step(self.model, loss_obj,
+                                                    mesh=self.mesh)
+            val_ds = (self.data._raw("validation")
+                      if "validation" in self.data.dataset_configs
+                      else self.data._raw("train"))
+            bsh = batch_sharding(self.mesh)
+            vals = []
+            for i, batch in enumerate(epoch_loader(
+                    val_ds, self.batch_size, shuffle=False, sharding=bsh)):
+                if self.val_batches and i >= self.val_batches:
+                    break
+                vals.append({k: float(v) for k, v in
+                             jax.device_get(eval_fn(state, batch)).items()})
+            results = ({k: float(np.mean([v[k] for v in vals]))
+                        for k in vals[0]} if vals else {})
+        else:
+            self._ensure_state()
+            encode_fn = train_loop.build_encode_step(self.model,
+                                                     mesh=self.mesh)
+            step = int(np.asarray(jax.device_get(self.state.step)))
+            results = self.validate(encode_fn, epoch=-1, step=step)
+        with open(out_path, "w") as fh:
+            json.dump(results, fh, indent=2)
+        print(f"[harness] test results -> {out_path}: " + " ".join(
+            f"{k}={v:.4f}" for k, v in results.items()))
+        return results
+
+    def log_run_metadata(self):
+        """Static run-metadata logging — the TPU-native stand-in for the
+        reference's WandbLogger ``config`` block on MCL sweep runs
+        (main_val.py:684-710; configs/mcl/*.yaml logger params). Writes
+        ``<logdir>/run_metadata.json`` with the logger's static config plus
+        the resolved runtime facts so sweep rows are comparable offline."""
+        import json
+
+        from encdiff_tpu.core.config import to_plain
+
+        lc = to_plain(self.lightning_config) or {}
+        logger_cfg = (lc.get("logger") or {}).get("params", {})
+        meta = {
+            "name": logger_cfg.get("name"),
+            "project": logger_cfg.get("project"),
+            "config": logger_cfg.get("config", {}),
+            "learning_rate": self.learning_rate,
+            "base_learning_rate": self.base_lr,
+            "batch_size": self.batch_size,
+            "n_devices": self.n_devices,
+            "accumulate_grad_batches": self.accumulate,
+            "seed": self.seed,
+        }
+        mp = to_plain(self.config).get("model", {}).get("params", {})
+        for k in ("use_mcl", "mcl_type", "lambda_mcl", "mcl_tau",
+                  "mcl_sigma", "mcl_neg_mode"):
+            if k in mp:
+                meta[k] = mp[k]
+        os.makedirs(self.logdir, exist_ok=True)
+        path = os.path.join(self.logdir, "run_metadata.json")
+        with open(path, "w") as fh:
+            json.dump(meta, fh, indent=2, default=str)
+        print(f"[harness] run metadata -> {path}")
+
     def validate(self, encode_fn, epoch: int, step: int,
                  images_dev=None) -> dict:
         """Representation sweep + disentanglement metric battery
@@ -735,8 +865,17 @@ def main(argv=None):
         # a pre-hook:
         trainer._resume_ckpt = ckpt
 
+    trainer.log_run_metadata()
     if opt.train:
-        trainer.fit(max_epochs=max_epochs, max_steps=opt.max_steps)
+        try:
+            trainer.fit(max_epochs=max_epochs, max_steps=opt.max_steps)
+        except KeyboardInterrupt:
+            trainer.interrupted = True
+    # trainer.test parity (main_val.py:872-873): runs after fit, and also
+    # stand-alone for eval-only invocations (-r <run> without -t)
+    if not opt.no_test and not getattr(trainer, "interrupted", False) \
+            and (opt.train or opt.resume):
+        trainer.test()
     return trainer
 
 

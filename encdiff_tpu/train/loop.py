@@ -152,6 +152,109 @@ def build_train_step(model, optimizer, mesh=None, ema_decay: float = 0.9999,
     )
 
 
+def build_split_mcl_train_step(model, optimizer, mesh=None,
+                               ema_decay: float = 0.9999):
+    """MCL fine-tune step as THREE XLA programs instead of one.
+
+    The fused MCL step (UNet fwd+bwd + nested grads through the frozen VQ
+    decoder + critic) lowers to an HLO proto past the ~8 MB body limit of
+    HTTP remote-compile tunnels (round-1 413; BENCH_NOTES.md). Splitting
+    puts each program well under the limit while computing bit-identical
+    gradients — the losses are additive, so
+
+        d(loss_diff + lambda*mcl)/dp = grads_diff + grads_mcl.
+
+    Programs: (A) diffusion loss grads (loss_fn with_mcl=False, ~the plain
+    step's program), (B) lambda*mcl grads wrt the same param tree (no UNet —
+    cond encoder + VQ decode + nested critic grads only), (C) grad sum +
+    AdamW + EMA + state update (tiny). Same call signature as
+    ``build_train_step``; ~3 dispatches/step (dispatch is async, so the
+    overhead is pipelined away on a busy device).
+
+    Reference behavior match: ddpm_enc.py:1216-1248 (single fused loss) +
+    the per-group grad-norm logging of on_before_optimizer_step
+    (ddpm_enc.py:1023-1038) — split grads give us grad_norm_diffusion /
+    grad_norm_mcl for free.
+    """
+
+    def diff_fn(state: TrainState, frozen, batch, rng):
+        if model.scale_by_std:
+            sf = jax.lax.cond(
+                state.step == 0,
+                lambda: model.compute_scale_factor(frozen, batch),
+                lambda: state.scale_factor)
+        else:
+            sf = state.scale_factor
+        frozen_in = {"first_stage": frozen["first_stage"],
+                     "cond_batch_stats": state.batch_stats}
+        grad_fn = jax.value_and_grad(
+            lambda p: model.loss_fn(p, frozen_in, batch, rng, sf,
+                                    train=True, with_mcl=False),
+            has_aux=True)
+        (loss, (loss_dict, new_stats)), grads = grad_fn(state.params)
+        return sf, grads, loss, loss_dict, new_stats
+
+    def mcl_fn(params, batch_stats, frozen, batch, rng, sf):
+        frozen_in = {"first_stage": frozen["first_stage"],
+                     "cond_batch_stats": batch_stats}
+        grad_fn = jax.value_and_grad(
+            lambda p: model.mcl_loss_fn(p, frozen_in, batch, rng, sf),
+            has_aux=True)
+        (_, mcl_dict), grads = grad_fn(params)
+        return grads, mcl_dict
+
+    def apply_fn(state: TrainState, grads_d, grads_m, loss, loss_dict,
+                 mcl_dict, new_stats, sf):
+        grads = jax.tree.map(jnp.add, grads_d, grads_m)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = state.ema
+        if ema is not None:
+            ema = ema_lib.update(ema, params["unet"], decay=ema_decay)
+        metrics = dict(loss_dict)
+        metrics.update(mcl_dict)
+        mcl_val = mcl_dict["train/loss_mcl"]
+        total = loss + model.lambda_mcl * mcl_val
+        metrics["train/loss"] = total
+        metrics["train/mcl_diffusion_ratio"] = mcl_val / jnp.maximum(
+            loss_dict["train/loss_simple"], 1e-12)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        metrics["grad_norm_diffusion"] = optax.global_norm(grads_d)
+        metrics["grad_norm_mcl"] = optax.global_norm(grads_m)
+        new_state = TrainState(
+            step=state.step + 1, params=params, batch_stats=new_stats,
+            opt_state=opt_state, ema=ema, scale_factor=sf)
+        return new_state, metrics
+
+    if mesh is None:
+        diff_jit = jax.jit(diff_fn)
+        mcl_jit = jax.jit(mcl_fn)
+        apply_jit = jax.jit(apply_fn, donate_argnums=(0, 1, 2))
+    else:
+        repl = replicated(mesh)
+        bsh = batch_sharding(mesh)
+        diff_jit = jax.jit(diff_fn,
+                           in_shardings=(repl, repl, bsh, repl),
+                           out_shardings=repl)
+        mcl_jit = jax.jit(mcl_fn,
+                          in_shardings=(repl, repl, repl, bsh, repl, repl),
+                          out_shardings=repl)
+        apply_jit = jax.jit(apply_fn, in_shardings=repl,
+                            out_shardings=(repl, repl),
+                            donate_argnums=(0, 1, 2))
+
+    def train_step(state: TrainState, frozen, batch, rng):
+        sf, grads_d, loss, loss_dict, new_stats = diff_jit(
+            state, frozen, batch, rng)
+        grads_m, mcl_dict = mcl_jit(state.params, state.batch_stats,
+                                    frozen, batch, rng, sf)
+        return apply_jit(state, grads_d, grads_m, loss, loss_dict,
+                         mcl_dict, new_stats, sf)
+
+    return train_step
+
+
 def build_indexed_train_step(model, optimizer, mesh=None,
                              ema_decay: float = 0.9999, donate: bool = True):
     """Device-resident-data variant: the WHOLE uint8 dataset lives in HBM

@@ -158,6 +158,54 @@ def test_mcl_train_step():
     assert dm > 0
 
 
+def test_split_mcl_step_matches_fused():
+    """build_split_mcl_train_step (three-program remote-compile-safe mode)
+    must reproduce the fused step's updated params and losses: the losses
+    are additive, so summed split grads == fused grads."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import jax
+
+    from __graft_entry__ import _flagship_config
+    from encdiff_tpu.core.config import instantiate_from_config
+    from encdiff_tpu.train import loop as train_loop
+
+    cfg = _flagship_config(model_channels=32, num_res_blocks=1, vq_ch=32,
+                           channel_mult=(1, 2), vq_ch_mult=(1, 2),
+                           resolution=32)
+    cfg["params"].update({"use_mcl": True, "lambda_mcl": 0.05,
+                          "mcl_type": "infonce_mechgrad", "mcl_tau": 0.1,
+                          "mcl_sigma": 0.1, "mcl_neg_mode": "shuffle_u",
+                          "mcl_proj_dim": 32})
+    model = instantiate_from_config(cfg)
+    optimizer = train_loop.build_optimizer(model, learning_rate=1e-5)
+    state, frozen = train_loop.create_train_state(
+        model, jax.random.PRNGKey(0), optimizer, image_resolution=32)
+    batch = np.random.RandomState(3).randint(
+        0, 256, size=(4, 32, 32, 3), dtype=np.uint8)
+    rng = jax.random.PRNGKey(5)
+
+    fused = train_loop.build_train_step(model, optimizer, donate=False)
+    sf, mf = fused(state, frozen, batch, rng)
+    split = train_loop.build_split_mcl_train_step(model, optimizer)
+    ss, ms = split(state, frozen, batch, rng)
+
+    np.testing.assert_allclose(float(ms["train/loss_mcl"]),
+                               float(mf["train/loss_mcl"]), rtol=1e-5)
+    np.testing.assert_allclose(float(ms["train/loss"]),
+                               float(mf["train/loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(ms["grad_norm"]),
+                               float(mf["grad_norm"]), rtol=1e-4)
+    diffs = jax.tree_util.tree_leaves(jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        ss.params, sf.params))
+    assert max(diffs) < 1e-5
+    # split-only diagnostics (per-group grad norms, ddpm_enc.py:1023-1038)
+    assert np.isfinite(float(ms["grad_norm_diffusion"]))
+    assert np.isfinite(float(ms["grad_norm_mcl"]))
+
+
 def test_indexed_train_step_matches_batch_step(trained_bits):
     """Device-resident-data step must produce the same loss as the
     host-batch step for identical data."""

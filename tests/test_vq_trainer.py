@@ -67,6 +67,36 @@ def test_vq_eval_step(vq_bits):
     assert np.isfinite(float(log["val/disc_loss"]))
 
 
+def test_vq_gan_step_with_perceptual():
+    """perceptual_weight>0 path (vqperceptual.py:59 + shapes3d_vq_4_16.yaml
+    taming default): LPIPS in calibrated random-features mode contributes a
+    positive p_loss and the step stays finite."""
+    import jax
+
+    from encdiff_tpu.losses.gan import VQLPIPSWithDiscriminator
+    from encdiff_tpu.models.autoencoder import VQModel
+    from encdiff_tpu.train import vq_trainer
+
+    ddconfig = dict(double_z=False, z_channels=3, resolution=32,
+                    in_channels=3, out_ch=3, ch=32, ch_mult=[1, 2],
+                    num_res_blocks=1, attn_resolutions=[], dropout=0.0)
+    vq = VQModel(ddconfig=ddconfig, n_embed=64, embed_dim=3)
+    loss = VQLPIPSWithDiscriminator(disc_start=0, disc_weight=0.75,
+                                    codebook_weight=1.0,
+                                    perceptual_weight=1.0)
+    gen_tx, disc_tx = vq_trainer.make_optimizers(1e-4)
+    state = vq_trainer.create_vq_train_state(vq, loss, jax.random.PRNGKey(0),
+                                             gen_tx, disc_tx,
+                                             image_resolution=32)
+    step = vq_trainer.build_vq_train_step(vq, loss, gen_tx, disc_tx,
+                                          donate=False)
+    batch = np.random.RandomState(2).randint(
+        0, 256, size=(2, 32, 32, 3), dtype=np.uint8)
+    s1, m1 = step(state, batch)
+    assert float(m1["train/p_loss"]) > 0.0
+    assert np.isfinite(float(m1["train/total_loss"]))
+
+
 def test_lpips_shapes():
     """LPIPS module: symmetric, zero at identity, (B,) output."""
     import jax
