@@ -149,7 +149,13 @@ class VQLPIPSWithDiscriminator:
         else:
             rec = (x - xrec) ** 2
         if self.lpips is not None:
-            p = self.lpips(loss_vars["lpips"], x, xrec)  # (B,)
+            # remat: the 13-conv VGG trunk's activations at (B,64,64,C) are
+            # the dominant HBM cost of the generator step (bs=128 + the
+            # 5.9 GB device-resident dataset OOMed a 16 GB v5e without
+            # this); recompute them in the backward instead
+            p = jax.checkpoint(
+                lambda v, a, b: self.lpips(v, a, b))(
+                    loss_vars["lpips"], x, xrec)  # (B,)
             rec = rec + self.perceptual_weight * p[:, None, None, None]
             p_mean = p.mean()
         else:

@@ -136,6 +136,53 @@ class GroupNorm(nn.Module):
         return y.astype(orig_dtype)
 
 
+class _GNParams(nn.Module):
+    """Bare GroupNorm affine params, declared under the same child-module
+    path (``<name>/GroupNorm_0/{scale,bias}``) flax's nn.GroupNorm would
+    use — keeps the fused module checkpoint-compatible with ``GroupNorm``."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones,
+                           (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return scale, bias
+
+
+class GNSiLU(nn.Module):
+    """GroupNorm (+ optional FiLM scale/shift) + SiLU with an optional fused
+    Pallas path (``nn/pallas/groupnorm_silu.py``) — the GN-SiLU prologue of
+    every ResBlock (openaimodel_enc.py:163-275, model.py:82-149) as one
+    kernel when ``encdiff_tpu.nn.pallas.enabled()`` and the sample block
+    fits VMEM; identical math (fp32 statistics) and an identical param tree
+    to ``GroupNorm`` + ``nonlinearity`` otherwise."""
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, scale=None, shift=None):
+        b, h, w, c = x.shape
+        gamma, beta = _GNParams(c, name="GroupNorm_0")()
+
+        from encdiff_tpu.nn import pallas as pallas_pkg
+        from encdiff_tpu.nn.pallas.groupnorm_silu import (
+            fits_vmem, gn_silu, reference_groupnorm_silu)
+
+        if pallas_pkg.enabled() and fits_vmem(h, w, c):
+            sc = scale if scale is not None else jnp.zeros((b, c), x.dtype)
+            sh = shift if shift is not None else jnp.zeros((b, c), x.dtype)
+            return gn_silu(x, gamma, beta, sc, sh, self.num_groups,
+                           self.epsilon, pallas_pkg.interpret())
+        return reference_groupnorm_silu(
+            x, gamma, beta, scale, shift,
+            groups=self.num_groups, eps=self.epsilon)
+
+
 def nonlinearity(x):
     """SiLU / swish (model.py:33-35)."""
     return jax.nn.silu(x)

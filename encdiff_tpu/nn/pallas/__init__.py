@@ -37,6 +37,8 @@ def enabled() -> bool:
     attention pays off."""
     if not os.environ.get("ENCDIFF_PALLAS"):
         return False
+    if interpret():
+        return True
     try:
         import jax
 
@@ -44,3 +46,9 @@ def enabled() -> bool:
         return plat not in ("cpu",)
     except Exception:
         return False
+
+
+def interpret() -> bool:
+    """ENCDIFF_PALLAS=interpret runs the kernels in Pallas interpret mode —
+    CPU-correctness testing of the exact kernel code paths."""
+    return os.environ.get("ENCDIFF_PALLAS") == "interpret"

@@ -69,6 +69,43 @@ def groupnorm_silu(x, gamma, beta, scale=None, shift=None, *,
     return out.reshape(b, h, w, c)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def gn_silu(x, gamma, beta, scale, shift, groups: int = 32,
+            eps: float = 1e-5, interpret: bool = False):
+    """Differentiable fused GN(+FiLM)+SiLU: Pallas kernel forward,
+    reference-recompute backward (the VJP math stays in XLA where it fuses
+    into the surrounding conv grads). scale/shift must be concrete (B, C)
+    arrays — pass zeros for the no-FiLM case."""
+    return groupnorm_silu(x, gamma, beta, scale, shift, groups=groups,
+                          eps=eps, interpret=interpret)
+
+
+def _gn_silu_fwd(x, gamma, beta, scale, shift, groups, eps, interpret):
+    out = groupnorm_silu(x, gamma, beta, scale, shift, groups=groups,
+                         eps=eps, interpret=interpret)
+    return out, (x, gamma, beta, scale, shift)
+
+
+def _gn_silu_bwd(groups, eps, interpret, res, g):
+    x, gamma, beta, scale, shift = res
+    _, vjp = jax.vjp(
+        lambda xx, ga, be, sc, sh: reference_groupnorm_silu(
+            xx, ga, be, sc, sh, groups=groups, eps=eps),
+        x, gamma, beta, scale, shift)
+    return vjp(g)
+
+
+gn_silu.defvjp(_gn_silu_fwd, _gn_silu_bwd)
+
+# A (HW, C) fp32 block must fit VMEM (~16 MB/core) with headroom for the
+# reshape temporaries; above this the fused kernel falls back to XLA.
+_VMEM_BLOCK_LIMIT = 4 * 2**20
+
+
+def fits_vmem(h: int, w: int, c: int) -> bool:
+    return h * w * c * 4 <= _VMEM_BLOCK_LIMIT
+
+
 def reference_groupnorm_silu(x, gamma, beta, scale=None, shift=None, *,
                              groups: int = 32, eps: float = 1e-5):
     b, h, w, c = x.shape

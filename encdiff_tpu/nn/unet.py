@@ -26,7 +26,8 @@ from flax import linen as nn
 
 from encdiff_tpu.nn.attention import SpatialTransformer
 from encdiff_tpu.nn.layers import (
-    Dtype, GroupNorm, TorchConv, TorchDense, avg_pool_2x, nonlinearity,
+    Dtype, GNSiLU, GroupNorm, TorchConv, TorchDense, avg_pool_2x,
+    nonlinearity,
     timestep_embedding, upsample_nearest_2x,
 )
 
@@ -51,8 +52,7 @@ class ResBlock(nn.Module):
     def __call__(self, x, emb, *, deterministic: bool = True):
         out_ch = self.out_channels or self.channels
 
-        h = GroupNorm(32, epsilon=1e-5, dtype=self.dtype, name="in_norm")(x)
-        h = nonlinearity(h)
+        h = GNSiLU(32, epsilon=1e-5, dtype=self.dtype, name="in_norm")(x)
         if self.up:
             h = upsample_nearest_2x(h)
             x = upsample_nearest_2x(x)
@@ -67,12 +67,11 @@ class ResBlock(nn.Module):
 
         if self.use_scale_shift_norm:
             scale, shift = jnp.split(emb_out, 2, axis=-1)
-            h = GroupNorm(32, epsilon=1e-5, dtype=self.dtype, name="out_norm")(h)
-            h = h * (1 + scale[:, None, None, :]) + shift[:, None, None, :]
+            h = GNSiLU(32, epsilon=1e-5, dtype=self.dtype,
+                       name="out_norm")(h, scale, shift)
         else:
             h = h + emb_out[:, None, None, :]
-            h = GroupNorm(32, epsilon=1e-5, dtype=self.dtype, name="out_norm")(h)
-        h = nonlinearity(h)
+            h = GNSiLU(32, epsilon=1e-5, dtype=self.dtype, name="out_norm")(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = TorchConv(out_ch, 3, padding=1,
@@ -240,8 +239,7 @@ class UNetModel(nn.Module):
                                      name=f"up_{level}_us")(h)
                     ds //= 2
         # --- head ---
-        h = GroupNorm(32, epsilon=1e-5, dtype=self.dtype, name="out_norm")(h)
-        h = nonlinearity(h)
+        h = GNSiLU(32, epsilon=1e-5, dtype=self.dtype, name="out_norm")(h)
         h = TorchConv(self.out_channels, 3, padding=1,
                       kernel_init=nn.initializers.zeros_init(),
                       bias_init=nn.initializers.zeros_init(),

@@ -16,7 +16,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from encdiff_tpu.nn.layers import (
-    Dtype, GroupNorm, TorchConv, avg_pool_2x, nonlinearity, upsample_nearest_2x,
+    Dtype, GNSiLU, GroupNorm, TorchConv, avg_pool_2x, nonlinearity,
+    upsample_nearest_2x,
 )
 
 
@@ -33,11 +34,9 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         out_ch = self.out_channels or self.in_channels
-        h = GroupNorm(32, epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
-        h = nonlinearity(h)
+        h = GNSiLU(32, epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         h = TorchConv(out_ch, 3, padding=1, dtype=self.dtype, name="conv1")(h)
-        h = GroupNorm(32, epsilon=1e-6, dtype=self.dtype, name="norm2")(h)
-        h = nonlinearity(h)
+        h = GNSiLU(32, epsilon=1e-6, dtype=self.dtype, name="norm2")(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = TorchConv(out_ch, 3, padding=1, dtype=self.dtype, name="conv2")(h)
@@ -150,8 +149,7 @@ class Encoder(nn.Module):
         h = AttnBlock(h.shape[-1], dtype=self.dtype, name="mid_attn_1")(h)
         h = ResnetBlock(h.shape[-1], dropout=self.dropout, dtype=self.dtype,
                         name="mid_block_2")(h, deterministic=deterministic)
-        h = GroupNorm(32, epsilon=1e-6, dtype=self.dtype, name="norm_out")(h)
-        h = nonlinearity(h)
+        h = GNSiLU(32, epsilon=1e-6, dtype=self.dtype, name="norm_out")(h)
         out_feat = 2 * self.z_channels if self.double_z else self.z_channels
         return TorchConv(out_feat, 3, padding=1, dtype=self.dtype,
                          name="conv_out")(h)
@@ -204,8 +202,7 @@ class Decoder(nn.Module):
                 curr_res *= 2
         if self.give_pre_end:
             return h
-        h = GroupNorm(32, epsilon=1e-6, dtype=self.dtype, name="norm_out")(h)
-        h = nonlinearity(h)
+        h = GNSiLU(32, epsilon=1e-6, dtype=self.dtype, name="norm_out")(h)
         # sown for the GAN adaptive weight: grads of nll/g_loss wrt the
         # conv_out kernel only need (dL/dxrec, this activation) —
         # vqperceptual.py:86-94 without a second full backward

@@ -325,7 +325,9 @@ class Trainer:
             # dispatch per step, rng folded in on device
             import jax.numpy as jnp
 
-            images_dev = jax.device_put(jnp.asarray(images_host), repl)
+            images_dev = jax.device_put(
+                jnp.asarray(train_loop.flatten_for_device(images_host)),
+                repl)
             steps_per_epoch = len(self.data._raw("train")) // self.batch_size
             step_fn = train_loop.build_epoch_train_step(
                 model, optimizer, steps_per_epoch, mesh=self.mesh)
@@ -433,6 +435,7 @@ class Trainer:
         import jax
 
         from encdiff_tpu.parallel.mesh import batch_sharding, replicated
+        from encdiff_tpu.train import loop as train_loop
         from encdiff_tpu.train import vq_trainer
         from encdiff_tpu.train.callbacks import SetupCallback, save_image_grid
         from encdiff_tpu.train.data import epoch_loader
@@ -469,7 +472,9 @@ class Trainer:
         if use_dev_data:
             import jax.numpy as jnp
 
-            images_dev = jax.device_put(jnp.asarray(images_host), repl)
+            images_dev = jax.device_put(
+                jnp.asarray(train_loop.flatten_for_device(images_host)),
+                repl)
             steps_per_epoch = len(train_ds) // self.batch_size
             step_fn = vq_trainer.build_epoch_vq_train_step(
                 model, loss_obj, gen_tx, disc_tx, steps_per_epoch,

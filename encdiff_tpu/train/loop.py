@@ -17,6 +17,7 @@ from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from encdiff_tpu.core import ema as ema_lib
@@ -32,6 +33,27 @@ def _as_images(batch):
     if jnp.issubdtype(batch.dtype, jnp.integer):
         return batch.astype(jnp.float32) / 127.5 - 1.0
     return batch.astype(jnp.float32)
+
+
+def flatten_for_device(images):
+    """Flatten a (N, H, W, 3) host image array to (N, H*W*3) before
+    ``device_put``: the TPU tiled layout pads a trailing dim of 3 to ~2x
+    the bytes (u8[480k,64,64,3] padded 5.49G -> 10.99G, an HBM OOM with
+    the program), while a last dim that's a multiple of 128 is packed
+    tight. ``gather_images`` undoes it after the per-batch gather."""
+    return images.reshape(len(images), -1)
+
+
+def gather_images(images, idx):
+    """Device-side batch gather; restores (B, H, W, 3) from the flat
+    layout (square images, 3 channels — every supported dataset)."""
+    batch = jnp.take(images, idx, axis=0)
+    if batch.ndim == 2:
+        hw = batch.shape[1] // 3
+        side = round(float(np.sqrt(hw)))
+        assert side * side * 3 == batch.shape[1], batch.shape
+        batch = batch.reshape(batch.shape[0], side, side, 3)
+    return batch
 
 
 class TrainState(NamedTuple):
@@ -270,7 +292,7 @@ def build_indexed_train_step(model, optimizer, mesh=None,
     """
 
     def train_step(state: TrainState, frozen, images, idx, rng):
-        batch = jnp.take(images, idx, axis=0)
+        batch = gather_images(images, idx)
         if model.scale_by_std:
             sf = jax.lax.cond(
                 state.step == 0,
@@ -324,7 +346,7 @@ def build_epoch_train_step(model, optimizer, steps_per_epoch: int,
         i = (state.step % steps_per_epoch).astype(jnp.int32)
         b = perm.shape[0] // steps_per_epoch
         idx = jax.lax.dynamic_slice(perm, (i * b,), (b,))
-        batch = jnp.take(images, idx, axis=0)
+        batch = gather_images(images, idx)
         rng = jax.random.fold_in(rng_base, state.step)
         if model.scale_by_std:
             sf = jax.lax.cond(
@@ -377,7 +399,7 @@ def build_scan_train_step(model, optimizer, k: int = 4, mesh=None,
     def one_step(carry, idx):
         state, rng, images = carry
         rng, srng = jax.random.split(rng)
-        batch = jnp.take(images, idx, axis=0)
+        batch = gather_images(images, idx)
         if model.scale_by_std:
             sf = jax.lax.cond(
                 state.step == 0,
@@ -480,7 +502,7 @@ def build_encode_sweep(model, n_chunks: int, chunk: int, mesh=None):
                      "batch_stats": state.batch_stats}
 
         def body(_, idx):
-            batch = jnp.take(images, idx, axis=0)
+            batch = gather_images(images, idx)
             return None, model.cond_encoding(cond_vars, _as_images(batch))
 
         _, us = jax.lax.scan(body, None, order.reshape(n_chunks, chunk))

@@ -155,7 +155,8 @@ def build_epoch_vq_train_step(vqmodel, loss_obj, gen_tx, disc_tx,
         i = (state.step % steps_per_epoch).astype(jnp.int32)
         b = perm.shape[0] // steps_per_epoch
         idx = jax.lax.dynamic_slice(perm, (i * b,), (b,))
-        return inner(state, jnp.take(images, idx, axis=0))
+        from encdiff_tpu.train.loop import gather_images
+        return inner(state, gather_images(images, idx))
 
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,) if donate else ())

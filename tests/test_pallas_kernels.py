@@ -109,3 +109,75 @@ def test_attention_core_grads_match_reference():
     for a, b_ in zip(g_pl, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_gn_silu_custom_vjp_grads():
+    """gn_silu (kernel fwd / reference-recompute bwd) gradients match
+    jax.grad of the pure reference for x, gamma, beta, and FiLM scale/shift."""
+    import jax
+    import jax.numpy as jnp
+
+    from encdiff_tpu.nn.pallas.groupnorm_silu import (
+        gn_silu, reference_groupnorm_silu)
+
+    rs = np.random.RandomState(3)
+    b, h, w, c, g = 2, 4, 4, 16, 4
+    x = jnp.asarray(rs.randn(b, h, w, c).astype(np.float32))
+    gamma = jnp.asarray(rs.randn(c).astype(np.float32) * 0.1 + 1.0)
+    beta = jnp.asarray(rs.randn(c).astype(np.float32) * 0.1)
+    scale = jnp.asarray(rs.randn(b, c).astype(np.float32) * 0.1)
+    shift = jnp.asarray(rs.randn(b, c).astype(np.float32) * 0.1)
+
+    def loss_kernel(*args):
+        return jnp.sum(gn_silu(*args, g, 1e-5, True) ** 2)
+
+    def loss_ref(*args):
+        return jnp.sum(reference_groupnorm_silu(*args, groups=g,
+                                                eps=1e-5) ** 2)
+
+    gk = jax.grad(loss_kernel, argnums=(0, 1, 2, 3, 4))(
+        x, gamma, beta, scale, shift)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(
+        x, gamma, beta, scale, shift)
+    for a, b_ in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_gnsilu_module_interpret_matches_default(monkeypatch):
+    """The GNSiLU flax module: ENCDIFF_PALLAS=interpret (fused kernel path)
+    and the default XLA path produce the same output and the same param tree
+    as the pre-fusion GroupNorm+silu composition."""
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn_
+
+    from encdiff_tpu.nn.layers import GNSiLU, GroupNorm, nonlinearity
+
+    class Old(nn_.Module):
+        @nn_.compact
+        def __call__(self, x):
+            return nonlinearity(GroupNorm(32, epsilon=1e-5,
+                                          name="in_norm")(x))
+
+    class New(nn_.Module):
+        @nn_.compact
+        def __call__(self, x):
+            return GNSiLU(32, epsilon=1e-5, name="in_norm")(x)
+
+    x = jnp.asarray(np.random.RandomState(4).randn(2, 8, 8, 64)
+                    .astype(np.float32))
+    vo = Old().init(jax.random.PRNGKey(0), x)
+    vn = New().init(jax.random.PRNGKey(0), x)
+    # identical param paths -> checkpoints stay loadable
+    assert (jax.tree_util.tree_structure(vo)
+            == jax.tree_util.tree_structure(vn))
+    monkeypatch.delenv("ENCDIFF_PALLAS", raising=False)
+    y_def = New().apply(vo, x)
+    np.testing.assert_allclose(np.asarray(y_def),
+                               np.asarray(Old().apply(vo, x)),
+                               rtol=1e-5, atol=1e-6)
+    monkeypatch.setenv("ENCDIFF_PALLAS", "interpret")
+    y_fused = New().apply(vo, x)
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_def),
+                               rtol=2e-5, atol=2e-5)
