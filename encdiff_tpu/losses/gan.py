@@ -162,6 +162,21 @@ class VQLPIPSWithDiscriminator:
             p_mean = jnp.float32(0.0)
         return rec, p_mean
 
+    def _disc_train_logits(self, dvars, x):
+        """Discriminator forward with TRAIN-mode BatchNorm (batch
+        statistics), running-stat updates discarded. Torch keeps the
+        discriminator in train mode during the generator pass (Lightning
+        module-wide .train(); taming uses plain BatchNorm2d), so the
+        generator must see batch-stat normalization — scoring fakes
+        against stale *running* stats lets the discriminator win
+        trivially and sends the generator chasing unbounded magnitudes
+        (observed: rec_loss 0.22 -> 31.7 over 7.5k steps)."""
+        if "batch_stats" in dvars and dvars["batch_stats"]:
+            logits, _ = self.discriminator.apply(dvars, x, train=True,
+                                                 mutable=["batch_stats"])
+            return logits
+        return self.discriminator.apply(dvars, x, train=False)
+
     def generator_loss(self, loss_vars, disc_params, codebook_loss, x, xrec,
                        global_step, conv_out_params=None, pre_conv_out=None,
                        split="train", predicted_indices=None,
@@ -177,7 +192,7 @@ class VQLPIPSWithDiscriminator:
         dvars = {"params": disc_params}
         if disc_batch_stats is not None:
             dvars["batch_stats"] = disc_batch_stats
-        logits_fake = self.discriminator.apply(dvars, xrec, train=False)
+        logits_fake = self._disc_train_logits(dvars, xrec)
         g_loss = -jnp.mean(logits_fake)
 
         if conv_out_params is not None and pre_conv_out is not None:
@@ -188,8 +203,7 @@ class VQLPIPSWithDiscriminator:
 
             def g_of_w(w):
                 xr = conv_out_apply(w, pre_conv_out)
-                lf = self.discriminator.apply(dvars, xr, train=False)
-                return -jnp.mean(lf)
+                return -jnp.mean(self._disc_train_logits(dvars, xr))
 
             d_weight = adaptive_gan_weight(
                 nll_of_w, g_of_w, conv_out_params,
@@ -279,7 +293,7 @@ class LPIPSWithDiscriminator(VQLPIPSWithDiscriminator):
         dvars = {"params": disc_params}
         if disc_batch_stats is not None:
             dvars["batch_stats"] = disc_batch_stats
-        logits_fake = self.discriminator.apply(dvars, xrec, train=False)
+        logits_fake = self._disc_train_logits(dvars, xrec)
         g_loss = -jnp.mean(logits_fake)
 
         if conv_out_params is not None and pre_conv_out is not None:
@@ -291,8 +305,7 @@ class LPIPSWithDiscriminator(VQLPIPSWithDiscriminator):
 
             def g_of_w(w):
                 xr = conv_out_apply(w, pre_conv_out)
-                return -jnp.mean(self.discriminator.apply(dvars, xr,
-                                                          train=False))
+                return -jnp.mean(self._disc_train_logits(dvars, xr))
 
             d_weight = adaptive_gan_weight(
                 nll_of_w, g_of_w, conv_out_params,
