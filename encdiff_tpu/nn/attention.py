@@ -39,6 +39,16 @@ def attention(q, k, v, scale: float, precision=None, use_pallas=None):
 
         use_pallas = pallas_pkg.enabled()
     if use_pallas:
+        from encdiff_tpu.nn import pallas as pallas_pkg
+
+        n, m = q.shape[2], k.shape[2]
+        if n == m and n >= 1024 and n % 512 == 0:
+            # large-latent self-attention (e.g. CelebA 64x64 -> 4096
+            # tokens): blockwise flash kernel, O(N*D) HBM traffic
+            from encdiff_tpu.nn.pallas.flash_attention import flash_attention
+
+            return flash_attention(q, k, v, scale,
+                                   interpret=pallas_pkg.interpret()), None
         from encdiff_tpu.nn.pallas.attention import attention_core
 
         return attention_core(q, k, v), None

@@ -181,3 +181,53 @@ def test_gnsilu_module_interpret_matches_default(monkeypatch):
     y_fused = New().apply(vo, x)
     np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_def),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_flash_attention_fwd_matches_reference():
+    """Blockwise flash self-attention (interpret mode): multi-block online
+    softmax + lane padding (d=8 -> 128) vs the einsum reference."""
+    import jax.numpy as jnp
+
+    from encdiff_tpu.nn.pallas.flash_attention import (flash_attention,
+                                                       reference_attention)
+
+    rs = np.random.RandomState(5)
+    b, h, n, d = 1, 2, 256, 8
+    q = jnp.asarray(rs.randn(b, h, n, d).astype(np.float32))
+    k = jnp.asarray(rs.randn(b, h, n, d).astype(np.float32))
+    v = jnp.asarray(rs.randn(b, h, n, d).astype(np.float32))
+    scale = d ** -0.5
+    ref = reference_attention(q, k, v, scale)
+    out = flash_attention(q, k, v, scale, block_q=128, block_k=64,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flash_attention_grads_match_reference():
+    import jax
+    import jax.numpy as jnp
+
+    from encdiff_tpu.nn.pallas.flash_attention import (flash_attention,
+                                                       reference_attention)
+
+    rs = np.random.RandomState(6)
+    b, h, n, d = 1, 1, 128, 16
+    q = jnp.asarray(rs.randn(b, h, n, d).astype(np.float32))
+    k = jnp.asarray(rs.randn(b, h, n, d).astype(np.float32))
+    v = jnp.asarray(rs.randn(b, h, n, d).astype(np.float32))
+    w = jnp.asarray(rs.randn(b, h, n, d).astype(np.float32))
+    scale = d ** -0.5
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, scale, block_q=64,
+                                       block_k=64, interpret=True) * w)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(reference_attention(q, k, v, scale) * w)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-4)
