@@ -127,14 +127,81 @@ class SpatialRescaler(nn.Module):
 
 
 class FrozenCLIPTextEmbedder:
-    """modules.py:138-167 — requires CLIP weights (not shipped)."""
+    """CLIP text conditioning (modules.py:137-167). Functional flax CLIP
+    (``encdiff_tpu.nn.clip``); weights ingested from an OpenAI ``clip``
+    state_dict when supplied (``load_torch`` / ENCDIFF_CLIP_CKPT), random
+    init otherwise (architecture-correct, uncalibrated)."""
 
-    def __init__(self, *args, **kwargs):
-        raise NotImplementedError(
-            "FrozenCLIPTextEmbedder needs pretrained CLIP weights, which are "
-            "not available in this environment (documented non-goal — "
-            "SURVEY.md C16).")
+    def __init__(self, version="ViT-L/14", device=None, max_length=77,
+                 n_repeat=1, normalize=True, dtype=None):
+        import jax.numpy as jnp
+
+        from encdiff_tpu.nn.clip import CLIP
+
+        del device
+        self.clip = CLIP(version, dtype=dtype or jnp.float32)
+        self.max_length = max_length
+        self.n_repeat = n_repeat
+        self.normalize = normalize
+
+    def init_variables(self, rng):
+        import os
+
+        variables = self.clip.init_variables(rng)
+        ckpt = os.environ.get("ENCDIFF_CLIP_CKPT")
+        if ckpt:
+            import torch
+
+            sd = torch.load(ckpt, map_location="cpu")
+            sd = sd.get("state_dict", sd)
+            variables = self.clip.load_torch(variables, sd)
+        return variables
+
+    def _tokens(self, text):
+        import numpy as np
+
+        if isinstance(text, (list, tuple)) and text and isinstance(
+                text[0], str):
+            from encdiff_tpu.nn.clip import hash_tokenize
+
+            return hash_tokenize(text, self.max_length,
+                                 self.clip.cfg.vocab_size)
+        return np.asarray(text)
+
+    def __call__(self, variables, text):
+        import jax.numpy as jnp
+
+        z = self.clip.encode_text(variables, jnp.asarray(self._tokens(text)))
+        if self.normalize:
+            z = z / jnp.linalg.norm(z, axis=-1, keepdims=True)
+        return z
+
+    def encode(self, variables, text):
+        """(B, n_repeat, D) — modules.py:162-167."""
+        import jax.numpy as jnp
+
+        z = self(variables, text)
+        return jnp.repeat(z[:, None, :], self.n_repeat, axis=1)
 
 
-class FrozenClipImageEmbedder(FrozenCLIPTextEmbedder):
-    pass
+class FrozenClipImageEmbedder:
+    """CLIP image conditioning (modules.py:170-202): bicubic resize to the
+    tower resolution + CLIP normalization + encode_image."""
+
+    def __init__(self, model="ViT-L/14", jit=False, device=None,
+                 antialias=False, dtype=None):
+        import jax.numpy as jnp
+
+        from encdiff_tpu.nn.clip import CLIP
+
+        del jit, device, antialias
+        self.clip = CLIP(model, dtype=dtype or jnp.float32)
+
+    def init_variables(self, rng):
+        return FrozenCLIPTextEmbedder.init_variables(self, rng)
+
+    def __call__(self, variables, images):
+        return self.clip.encode_image(variables, images)
+
+    def encode(self, variables, images):
+        return self(variables, images)

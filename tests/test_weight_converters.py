@@ -303,3 +303,161 @@ def test_fid_inception_torch_parity():
 
     assert got.shape == ref.shape == (2, 2048)
     assert _rel_err(got, ref) < 1e-3, _rel_err(got, ref)
+
+
+# --------------------------------------------------------------------------
+# CLIP (text + vision towers, OpenAI clip/model.py key layout)
+# --------------------------------------------------------------------------
+
+
+class _QuickGELU(torch.nn.Module):
+    def forward(self, x):
+        return x * torch.sigmoid(1.702 * x)
+
+
+class _TorchCLIPBlock(torch.nn.Module):
+    def __init__(self, width, heads):
+        super().__init__()
+        from collections import OrderedDict
+
+        self.attn = torch.nn.MultiheadAttention(width, heads,
+                                                batch_first=True)
+        self.ln_1 = torch.nn.LayerNorm(width)
+        self.mlp = torch.nn.Sequential(OrderedDict([
+            ("c_fc", torch.nn.Linear(width, width * 4)),
+            ("gelu", _QuickGELU()),
+            ("c_proj", torch.nn.Linear(width * 4, width)),
+        ]))
+        self.ln_2 = torch.nn.LayerNorm(width)
+
+    def forward(self, x, attn_mask=None):
+        h = self.ln_1(x)
+        h = self.attn(h, h, h, need_weights=False, attn_mask=attn_mask)[0]
+        x = x + h
+        return x + self.mlp(self.ln_2(x))
+
+
+class _TorchCLIP(torch.nn.Module):
+    """Minimal replica of OpenAI clip.model.CLIP with its state_dict key
+    layout (token_embedding, transformer.resblocks.N.*, visual.*)."""
+
+    def __init__(self, cfg):
+        super().__init__()
+        self.cfg = cfg
+        self.token_embedding = torch.nn.Embedding(cfg.vocab_size,
+                                                  cfg.text_width)
+        self.positional_embedding = torch.nn.Parameter(
+            torch.randn(cfg.context_length, cfg.text_width) * 0.02)
+        self.transformer = torch.nn.Module()
+        self.transformer.resblocks = torch.nn.ModuleList(
+            [_TorchCLIPBlock(cfg.text_width, cfg.text_heads)
+             for _ in range(cfg.text_layers)])
+        self.ln_final = torch.nn.LayerNorm(cfg.text_width)
+        self.text_projection = torch.nn.Parameter(
+            torch.randn(cfg.text_width, cfg.embed_dim) * 0.02)
+
+        self.visual = torch.nn.Module()
+        v = self.visual
+        v.conv1 = torch.nn.Conv2d(3, cfg.vision_width, cfg.patch_size,
+                                  stride=cfg.patch_size, bias=False)
+        v.class_embedding = torch.nn.Parameter(
+            torch.randn(cfg.vision_width) * 0.02)
+        n_patches = (cfg.image_resolution // cfg.patch_size) ** 2
+        v.positional_embedding = torch.nn.Parameter(
+            torch.randn(n_patches + 1, cfg.vision_width) * 0.02)
+        v.ln_pre = torch.nn.LayerNorm(cfg.vision_width)
+        v.transformer = torch.nn.Module()
+        v.transformer.resblocks = torch.nn.ModuleList(
+            [_TorchCLIPBlock(cfg.vision_width, cfg.vision_heads)
+             for _ in range(cfg.vision_layers)])
+        v.ln_post = torch.nn.LayerNorm(cfg.vision_width)
+        v.proj = torch.nn.Parameter(
+            torch.randn(cfg.vision_width, cfg.embed_dim) * 0.02)
+
+    def encode_text(self, tokens):
+        x = self.token_embedding(tokens) + self.positional_embedding[None]
+        n = tokens.shape[1]
+        mask = torch.full((n, n), float("-inf")).triu(1)
+        for blk in self.transformer.resblocks:
+            x = blk(x, attn_mask=mask)
+        x = self.ln_final(x)
+        pooled = x[torch.arange(x.shape[0]), tokens.argmax(dim=-1)]
+        return pooled @ self.text_projection
+
+    def encode_image(self, images):
+        v = self.visual
+        x = v.conv1(images)                                # (B, W, H', W')
+        b, w = x.shape[:2]
+        x = x.reshape(b, w, -1).permute(0, 2, 1)           # (B, N, W)
+        cls = v.class_embedding[None, None].expand(b, 1, w)
+        x = torch.cat([cls, x], dim=1) + v.positional_embedding[None]
+        x = v.ln_pre(x)
+        for blk in v.transformer.resblocks:
+            x = blk(x)
+        return v.ln_post(x[:, 0]) @ v.proj
+
+
+def test_clip_converter_parity():
+    """Random-init torch CLIP replica -> load_torch_clip -> identical
+    text/image embeddings from the flax towers (~1e-5)."""
+    from encdiff_tpu.nn.clip import CLIP, CLIPConfig
+
+    cfg = CLIPConfig(embed_dim=32, vocab_size=96, context_length=12,
+                     text_width=48, text_heads=4, text_layers=2,
+                     image_resolution=32, patch_size=8, vision_width=64,
+                     vision_heads=4, vision_layers=2)
+    torch.manual_seed(0)
+    tmodel = _TorchCLIP(cfg).eval()
+
+    clip = CLIP(cfg)
+    variables = clip.init_variables(jax.random.PRNGKey(0))
+    variables = clip.load_torch(variables, tmodel.state_dict())
+
+    rs = np.random.RandomState(0)
+    tokens = np.zeros((3, 12), np.int64)
+    for i in range(3):
+        ln = rs.randint(3, 12)
+        tokens[i, :ln] = rs.randint(1, 94, size=ln)
+        tokens[i, ln - 1] = 95  # EOT = max id
+    images = rs.rand(2, 32, 32, 3).astype(np.float32) * 2 - 1
+
+    with torch.no_grad():
+        t_text = tmodel.encode_text(torch.from_numpy(tokens)).numpy()
+        t_img = tmodel.encode_image(
+            torch.from_numpy(images.transpose(0, 3, 1, 2))).numpy()
+
+    f_text = np.asarray(clip.encode_text(variables, jnp.asarray(tokens)))
+    # bypass preprocessing: feed the exact same pixels the torch side saw
+    from encdiff_tpu.nn.clip import _CLIPModules
+
+    f_img = np.asarray(clip.module.apply(
+        variables, jnp.asarray(images), method=_CLIPModules.encode_image))
+
+    assert _rel_err(f_text, t_text) < 1e-4, _rel_err(f_text, t_text)
+    assert _rel_err(f_img, t_img) < 1e-4, _rel_err(f_img, t_img)
+
+
+def test_frozen_clip_embedders_smoke():
+    """The reference-facing embedder classes run end-to-end with random
+    init: normalized text embeddings, n_repeat, image path with resize."""
+    from encdiff_tpu.nn.clip import CLIPConfig
+    from encdiff_tpu.nn.encoders import (FrozenCLIPTextEmbedder,
+                                         FrozenClipImageEmbedder)
+
+    cfg = CLIPConfig(embed_dim=16, vocab_size=64, context_length=8,
+                     text_width=32, text_heads=2, text_layers=1,
+                     image_resolution=32, patch_size=8, vision_width=32,
+                     vision_heads=2, vision_layers=1)
+    emb = FrozenCLIPTextEmbedder(cfg, max_length=8, n_repeat=2)
+    v = emb.init_variables(jax.random.PRNGKey(0))
+    z = emb.encode(v, ["a red cube", "blue sphere on floor"])
+    assert z.shape == (2, 2, 16)
+    np.testing.assert_allclose(
+        np.asarray(jnp.linalg.norm(z, axis=-1)), 1.0, rtol=1e-4)
+
+    iemb = FrozenClipImageEmbedder(cfg)
+    vi = iemb.init_variables(jax.random.PRNGKey(1))
+    imgs = jnp.asarray(np.random.RandomState(0)
+                       .rand(2, 64, 64, 3).astype(np.float32) * 2 - 1)
+    zi = iemb.encode(vi, imgs)
+    assert zi.shape == (2, 16)
