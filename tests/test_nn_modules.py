@@ -154,3 +154,47 @@ def test_vector_quantizer_straight_through():
     np.testing.assert_allclose(
         np.asarray(z_q).reshape(-1, 3), emb[np.asarray(idx).reshape(-1)],
         atol=1e-6)  # straight-through reassociation costs one f32 ulp of |z|
+
+
+def test_noisy_latent_classifier_trains():
+    """C19 NoisyLatentImageClassifier: head-only AdamW steps reduce CE on a
+    fixed batch; top-k + noise-level accuracy sweep run (classifier.py
+    shared_step/validation_step parity)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _build_model
+    from encdiff_tpu.models.classifier import NoisyLatentImageClassifier
+
+    ldm = _build_model(model_channels=32, num_res_blocks=1, vq_ch=32,
+                       channel_mult=(1, 2), vq_ch_mult=(1, 2),
+                       resolution=32)
+    clf = NoisyLatentImageClassifier(ldm, num_classes=4)
+    variables = ldm.init_variables(jax.random.PRNGKey(0),
+                                   image_resolution=32)
+    unet_vars = {"params": variables["unet"]["params"]}
+
+    b, hw, ch = 8, ldm.image_size, ldm.channels
+    rs_z = jax.random.normal(jax.random.PRNGKey(1), (b, hw, hw, ch))
+    tokens = jax.random.normal(jax.random.PRNGKey(2),
+                               (b, ldm.latent_unit * 16))
+    labels = jnp.arange(b) % 4
+
+    init, step = clf.build_train_step(learning_rate=1e-3)
+    state = init(jax.random.PRNGKey(3), (hw, hw, ch))
+    losses = []
+    for i in range(8):
+        state, log = step(state, unet_vars, rs_z, tokens, labels,
+                          jax.random.PRNGKey(10))  # fixed noise: same batch
+        losses.append(float(log["loss"]))
+    assert losses[-1] < losses[0], losses
+
+    accs = clf.noise_level_accuracy(state["head"], unet_vars, rs_z, tokens,
+                                    labels, jax.random.PRNGKey(4),
+                                    log_every_t=50)
+    assert set(accs) == set(range(0, ldm.num_timesteps, 50))
+    for row in accs.values():
+        assert 0.0 <= row["acc@1"] <= row["acc@5"] <= 1.0
