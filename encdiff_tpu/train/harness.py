@@ -315,11 +315,25 @@ class Trainer:
                  or (split_pref == "auto"
                      and jax.default_backend() == "axon")))
         if use_split_mcl:
-            use_dev_data = False  # split mode is streaming-signature only
-            step_fn = train_loop.build_split_mcl_train_step(
-                model, optimizer, mesh=self.mesh)
-            print("[harness] MCL split-program train step "
-                  f"(ENCDIFF_SPLIT_MCL={split_pref})")
+            if use_dev_data:
+                import jax.numpy as jnp
+
+                images_dev = jax.device_put(
+                    jnp.asarray(train_loop.flatten_for_device(images_host)),
+                    repl)
+                steps_per_epoch = (len(self.data._raw("train"))
+                                   // self.batch_size)
+                step_fn = train_loop.build_split_mcl_epoch_step(
+                    model, optimizer, steps_per_epoch, mesh=self.mesh)
+                print(f"[harness] dataset cached on device "
+                      f"({images_host.nbytes / 2**20:.0f} MiB), "
+                      f"{steps_per_epoch} steps/epoch; MCL split-program "
+                      f"step (ENCDIFF_SPLIT_MCL={split_pref})")
+            else:
+                step_fn = train_loop.build_split_mcl_train_step(
+                    model, optimizer, mesh=self.mesh)
+                print("[harness] MCL split-program train step "
+                      f"(ENCDIFF_SPLIT_MCL={split_pref})")
         elif use_dev_data:
             # whole dataset + epoch permutation resident in HBM; one
             # dispatch per step, rng folded in on device

@@ -277,6 +277,37 @@ def build_split_mcl_train_step(model, optimizer, mesh=None,
     return train_step
 
 
+def build_split_mcl_epoch_step(model, optimizer, steps_per_epoch: int,
+                               mesh=None, ema_decay: float = 0.9999):
+    """Device-resident-data variant of ``build_split_mcl_train_step`` with
+    the epoch-step call signature ``step(state, frozen, images, perm,
+    rng_base)``: a fourth (tiny) program slices the epoch permutation and
+    gathers the batch on device, so split-MCL mode keeps the
+    one-upload-per-epoch input path instead of streaming host batches."""
+    split = build_split_mcl_train_step(model, optimizer, mesh=mesh,
+                                       ema_decay=ema_decay)
+
+    def gather_fn(state_step, images, perm):
+        i = (state_step % steps_per_epoch).astype(jnp.int32)
+        b = perm.shape[0] // steps_per_epoch
+        idx = jax.lax.dynamic_slice(perm, (i * b,), (b,))
+        return gather_images(images, idx)
+
+    if mesh is None:
+        gather_jit = jax.jit(gather_fn)
+    else:
+        repl = replicated(mesh)
+        gather_jit = jax.jit(gather_fn, in_shardings=(repl, repl, repl),
+                             out_shardings=batch_sharding(mesh))
+
+    def step(state: TrainState, frozen, images, perm, rng_base):
+        batch = gather_jit(state.step, images, perm)
+        rng = jax.random.fold_in(rng_base, state.step)
+        return split(state, frozen, batch, rng)
+
+    return step
+
+
 def build_indexed_train_step(model, optimizer, mesh=None,
                              ema_decay: float = 0.9999, donate: bool = True):
     """Device-resident-data variant: the WHOLE uint8 dataset lives in HBM

@@ -322,3 +322,54 @@ def test_epoch_vq_step_matches_streaming_step():
         np.testing.assert_allclose(float(m_got[k]), float(m_want[k]),
                                    rtol=1e-5, atol=1e-6,
                                    err_msg=k)
+
+
+def test_split_mcl_epoch_step_matches_streaming_split():
+    """Device-resident split-MCL (gather program + 3 step programs) must
+    reproduce the streaming split step for the same gathered batch + rng
+    derivation (rng folded from the step counter)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship_config
+    from encdiff_tpu.core.config import instantiate_from_config
+    from encdiff_tpu.train import loop as train_loop
+
+    cfg = _flagship_config(model_channels=32, num_res_blocks=1, vq_ch=32,
+                           channel_mult=(1, 2), vq_ch_mult=(1, 2),
+                           resolution=32)
+    cfg["params"].update({"use_mcl": True, "lambda_mcl": 0.05,
+                          "mcl_proj_dim": 32})
+    model = instantiate_from_config(cfg)
+    optimizer = train_loop.build_optimizer(model, learning_rate=1e-5)
+    state, frozen = train_loop.create_train_state(
+        model, jax.random.PRNGKey(0), optimizer, image_resolution=32)
+
+    n, b = 16, 4
+    images = np.random.RandomState(7).randint(
+        0, 256, size=(n, 32, 32, 3), dtype=np.uint8)
+    images_flat = jnp.asarray(train_loop.flatten_for_device(images))
+    perm = jnp.asarray(np.arange(n, dtype=np.int32))
+    rng_base = jax.random.PRNGKey(9)
+
+    epoch_step = train_loop.build_split_mcl_epoch_step(
+        model, optimizer, steps_per_epoch=n // b)
+    se, me = epoch_step(state, frozen, images_flat, perm, rng_base)
+
+    # the split apply-program donates its state: rebuild an identical one
+    state2, _ = train_loop.create_train_state(
+        model, jax.random.PRNGKey(0), optimizer, image_resolution=32)
+    stream_step = train_loop.build_split_mcl_train_step(model, optimizer)
+    batch0 = images[:b]
+    rng0 = jax.random.fold_in(rng_base, 0)
+    ss, ms = stream_step(state2, frozen, batch0, rng0)
+
+    np.testing.assert_allclose(float(me["train/loss"]),
+                               float(ms["train/loss"]), rtol=1e-6)
+    diffs = jax.tree_util.tree_leaves(jax.tree.map(
+        lambda a, b_: float(np.abs(np.asarray(a) - np.asarray(b_)).max()),
+        se.params, ss.params))
+    assert max(diffs) < 1e-6
