@@ -70,6 +70,10 @@ def get_parser(**parser_kwargs):
     parser.add_argument("--eval_metrics", type=str, default=None,
                         help="comma list: beta_VAE,dci,MIG,factor_VAE")
     parser.add_argument("--check_val_every_n_epoch", type=int, default=None)
+    parser.add_argument("--resume_ckpt", type=str, default=None,
+                        help="warm-start weights from a checkpoint WITHOUT "
+                             "adopting its logdir/configs (MCL sweep "
+                             "fine-tunes; lenient/strict=False restore)")
     parser.add_argument("--device_data", type=str2bool, default=True,
                         nargs="?", const=True,
                         help="keep the uint8 dataset resident in HBM and "
@@ -263,6 +267,8 @@ class Trainer:
               f"{int(np.asarray(self.state.step))}")
 
     # --- the loops -----------------------------------------------------------
+    last_val_metrics = None
+
     def fit(self, max_epochs=10, max_steps=None, log_every=50):
         from encdiff_tpu.models.autoencoder import AutoencoderKL, VQModel
 
@@ -431,6 +437,7 @@ class Trainer:
                     val_metrics = self.validate(
                         encode_fn, epoch, step,
                         images_dev=images_dev if use_dev_data else None)
+                    self.last_val_metrics = val_metrics
                     for ck in self.checkpoints:
                         ck.maybe_save(self.save_checkpoint, step, epoch,
                                       metrics=val_metrics)
@@ -878,6 +885,8 @@ def main(argv=None):
                       check_val_every_n_epoch=(
                           opt.check_val_every_n_epoch
                           or trainer_cfg.get("check_val_every_n_epoch", 1)))
+    if opt.resume_ckpt and not ckpt:
+        ckpt = opt.resume_ckpt
     if ckpt:
         print(f"[harness] resuming from {ckpt}")
         # state exists only after fit() builds it; restore inside fit via

@@ -1,0 +1,94 @@
+"""MCL lambda-sweep driver.
+
+Counterpart of the reference's SLURM fan-out scripts
+(``run_mcl_parallel_amd.sh:60-150``, ``run_shape3d_mcl_quick.sh``): resume a
+trained EncDiff checkpoint, fine-tune with each (mcl_type, lambda) setting
+for a fixed number of steps, run the metric battery, and write one
+comparison table (the ``Experiment_and_questions.md`` row format). On a
+single chip the sweep runs serially; on SLURM/multi-host fan the
+invocations out with --only.
+
+Usage:
+    python scripts/run_mcl_sweep.py \\
+        --base configs/demo/synthetic-shapes-full-encdiff.yaml \\
+        --ckpt runs_full/<run>/checkpoints/last \\
+        --vq_ckpt runs_full/<vq_run>/checkpoints/last \\
+        --lambdas 0.01,0.05,0.1,0.5 --max_steps 1000 -l runs_mcl
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import os
+import sys
+
+
+def main(argv=None):
+    sys.path.insert(0, ".")
+    p = argparse.ArgumentParser()
+    p.add_argument("--base", required=True)
+    p.add_argument("--ckpt", required=True,
+                   help="trained EncDiff checkpoint to fine-tune from")
+    p.add_argument("--vq_ckpt", default=None,
+                   help="stage-1 VQ checkpoint (first_stage ckpt_path)")
+    p.add_argument("--mcl_type", default="infonce_mechgrad")
+    p.add_argument("--lambdas", default="0.01,0.05,0.1,0.5")
+    p.add_argument("--base_lr", type=float, default=2e-7,
+                   help="reference MCL fine-tune lr (run_mcl_parallel)")
+    p.add_argument("--max_epochs", type=int, default=1,
+                   help="fine-tune epochs per lambda (reference: 3)")
+    p.add_argument("--val_batches", type=int, default=None)
+    p.add_argument("-l", "--logdir", default="runs_mcl")
+    p.add_argument("--seed", type=int, default=23)
+    p.add_argument("--only", default=None,
+                   help="run a single lambda from the list (sweep fan-out)")
+    opt = p.parse_args(argv)
+
+    from encdiff_tpu.train import harness
+
+    lambdas = [float(x) for x in opt.lambdas.split(",")]
+    if opt.only is not None:
+        lambdas = [float(opt.only)]
+
+    rows = []
+    for lam in lambdas:
+        tag = f"{opt.mcl_type}_lambda{lam:g}"
+        print(f"=== MCL fine-tune {tag} ===", flush=True)
+        argv_run = [
+            "-b", opt.base, "-t", "true", "-l", opt.logdir, "-s",
+            str(opt.seed), "-n", tag,
+            "--max_epochs", str(opt.max_epochs),
+            "--check_val_every_n_epoch", "1",
+            f"model.base_learning_rate={opt.base_lr}",
+            "model.params.use_mcl=true",
+            f"model.params.mcl_type={opt.mcl_type}",
+            f"model.params.lambda_mcl={lam}",
+        ]
+        if opt.vq_ckpt:
+            argv_run.append("model.params.first_stage_config.params."
+                            f"ckpt_path={opt.vq_ckpt}")
+        if opt.val_batches:
+            argv_run += ["--val_batches", str(opt.val_batches)]
+        trainer = harness.main(["--no-test", "true"] + argv_run +
+                               ["--resume_ckpt", opt.ckpt])
+        results = trainer.last_val_metrics or {}
+        row = {"mcl_type": opt.mcl_type, "lambda": lam,
+               "epochs": opt.max_epochs, **results}
+        rows.append(row)
+        print(json.dumps(row, indent=2), flush=True)
+
+    out = os.path.join(opt.logdir, "mcl_sweep.csv")
+    os.makedirs(opt.logdir, exist_ok=True)
+    keys = sorted({k for r in rows for k in r})
+    with open(out, "w", newline="") as fh:
+        w = csv.DictWriter(fh, fieldnames=keys)
+        w.writeheader()
+        w.writerows(rows)
+    print(f"sweep table -> {out}")
+    return rows
+
+
+if __name__ == "__main__":
+    main()
