@@ -118,7 +118,7 @@ def create_train_state(model, rng, optimizer, image_resolution: int = 64,
 
 
 def build_train_step(model, optimizer, mesh=None, ema_decay: float = 0.9999,
-                     donate: bool = True):
+                     donate: bool = True, state_sharding=None):
     """Returns ``train_step(state, frozen, batch, rng) -> (state, metrics)``.
 
     - scale_by_std: on global step 0, scale_factor <- 1/std(encode(batch))
@@ -128,6 +128,9 @@ def build_train_step(model, optimizer, mesh=None, ema_decay: float = 0.9999,
       (``ddpm_enc.py:399-401`` on_train_batch_end).
     - With a mesh: batch sharded over ``data``, state replicated; GSPMD
       emits the gradient all-reduce (the reference's NCCL allreduce).
+    - ``state_sharding``: optional NamedSharding tree over the TrainState
+      (``parallel.tp.tp_shardings``) for dp+tp meshes; defaults to
+      replicated.
     """
 
     def train_step(state: TrainState, frozen, batch, rng):
@@ -166,10 +169,11 @@ def build_train_step(model, optimizer, mesh=None, ema_decay: float = 0.9999,
 
     repl = replicated(mesh)
     bsh = batch_sharding(mesh)
+    ss = state_sharding if state_sharding is not None else repl
     return jax.jit(
         train_step,
-        in_shardings=(repl, repl, bsh, repl),
-        out_shardings=(repl, repl),
+        in_shardings=(ss, repl, bsh, repl),
+        out_shardings=(ss, repl),
         donate_argnums=(0,) if donate else (),
     )
 

@@ -373,3 +373,39 @@ def test_split_mcl_epoch_step_matches_streaming_split():
         lambda a, b_: float(np.abs(np.asarray(a) - np.asarray(b_)).max()),
         se.params, ss.params))
     assert max(diffs) < 1e-6
+
+
+def test_dp_tp_mesh_matches_single_chip(trained_bits):
+    """4x2 dp x tp mesh (Megatron attention sharding, parallel/tp.py) must
+    reproduce the single-device loss — the sharding rules are pure layout."""
+    import jax
+
+    from encdiff_tpu.parallel.mesh import make_mesh, replicated, shard_batch
+    from encdiff_tpu.parallel.tp import tp_shardings
+    from encdiff_tpu.train import loop as train_loop
+
+    model, optimizer, state, frozen = trained_bits
+    batch = np.random.RandomState(2).randint(
+        0, 256, size=(8, 32, 32, 3), dtype=np.uint8)
+    rng = jax.random.PRNGKey(4)
+
+    f1 = train_loop.build_train_step(model, optimizer, donate=False)
+    _, m_single = f1(state, frozen, batch, rng)
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    ss = tp_shardings(state, mesh)
+    state_s = jax.device_put(state, ss)
+    frozen_s = jax.device_put(frozen, replicated(mesh))
+    ftp = train_loop.build_train_step(model, optimizer, mesh=mesh,
+                                      donate=False, state_sharding=ss)
+    s_tp, m_tp = ftp(state_s, frozen_s, shard_batch(batch, mesh), rng)
+
+    np.testing.assert_allclose(float(m_single["train/loss"]),
+                               float(m_tp["train/loss"]), rtol=2e-4)
+    # qkv kernels really are sharded over the model axis
+    flat, _ = jax.tree_util.tree_flatten_with_path(s_tp.params)
+    sharded = [p for p, v in flat
+               if "to_q" in "/".join(str(k) for k in p)
+               and hasattr(v, "sharding")
+               and "model" in str(v.sharding.spec)]
+    assert sharded, "no to_q kernel carries a model-axis sharding"
