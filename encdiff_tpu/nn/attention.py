@@ -34,21 +34,22 @@ def attention(q, k, v, scale: float, precision=None, use_pallas=None):
     einsum path is kept for CPU, attention-map capture, and as the
     reference (ENCDIFF_NO_PALLAS=1 disables the kernel).
     """
+    from encdiff_tpu.nn import pallas as pallas_pkg
+
     if use_pallas is None:
-        from encdiff_tpu.nn import pallas as pallas_pkg
+        flash_on = pallas_pkg.enabled("flash")
+        core_on = pallas_pkg.enabled("attn")
+    else:
+        flash_on = core_on = bool(use_pallas)
+    n, m = q.shape[2], k.shape[2]
+    if flash_on and n == m and n >= 1024 and n % 512 == 0:
+        # large-latent self-attention (e.g. CelebA 64x64 -> 4096 tokens):
+        # blockwise flash kernel, O(N*D) HBM traffic
+        from encdiff_tpu.nn.pallas.flash_attention import flash_attention
 
-        use_pallas = pallas_pkg.enabled()
-    if use_pallas:
-        from encdiff_tpu.nn import pallas as pallas_pkg
-
-        n, m = q.shape[2], k.shape[2]
-        if n == m and n >= 1024 and n % 512 == 0:
-            # large-latent self-attention (e.g. CelebA 64x64 -> 4096
-            # tokens): blockwise flash kernel, O(N*D) HBM traffic
-            from encdiff_tpu.nn.pallas.flash_attention import flash_attention
-
-            return flash_attention(q, k, v, scale,
-                                   interpret=pallas_pkg.interpret()), None
+        return flash_attention(q, k, v, scale,
+                               interpret=pallas_pkg.interpret()), None
+    if core_on:
         from encdiff_tpu.nn.pallas.attention import attention_core
 
         return attention_core(q, k, v), None

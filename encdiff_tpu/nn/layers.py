@@ -173,7 +173,7 @@ class GNSiLU(nn.Module):
         from encdiff_tpu.nn.pallas.groupnorm_silu import (
             fits_vmem, gn_silu, reference_groupnorm_silu)
 
-        if pallas_pkg.enabled() and fits_vmem(h, w, c):
+        if pallas_pkg.enabled("gn") and fits_vmem(h, w, c):
             sc = scale if scale is not None else jnp.zeros((b, c), x.dtype)
             sh = shift if shift is not None else jnp.zeros((b, c), x.dtype)
             return gn_silu(x, gamma, beta, sc, sh, self.num_groups,

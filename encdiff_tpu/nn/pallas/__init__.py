@@ -21,9 +21,13 @@ from __future__ import annotations
 import os
 
 
-def enabled() -> bool:
+def enabled(feature: str = "") -> bool:
     """True when Pallas TPU kernels should be used: OPT-IN via
-    ENCDIFF_PALLAS=1 on a TPU backend.
+    ENCDIFF_PALLAS on a TPU backend. The value is either a blanket switch
+    ("1"/"all"/"interpret") or a comma list of kernel families to enable
+    selectively — "gn" (fused GroupNorm+SiLU), "attn" (small fused
+    attention core), "flash" (blockwise large-N self-attention) — so each
+    kernel can be measured in isolation.
 
     Measured on one v5e chip at the flagship config (bs=128): the fused
     attention core wins its micro-benchmark (17us vs 19us fwd, 20us vs 24us
@@ -35,8 +39,13 @@ def enabled() -> bool:
     the kernels remain available for large-latent configs (e.g. CelebA
     64x64 latents = 4096-token self-attention) where VMEM-resident
     attention pays off."""
-    if not os.environ.get("ENCDIFF_PALLAS"):
+    val = os.environ.get("ENCDIFF_PALLAS", "")
+    if not val:
         return False
+    if val not in ("1", "all", "interpret"):
+        feats = {f.strip() for f in val.split(",")}
+        if feature and feature not in feats:
+            return False
     if interpret():
         return True
     try:
