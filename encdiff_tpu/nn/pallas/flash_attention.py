@@ -53,15 +53,17 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
     l0 = jnp.zeros((bq, 1), jnp.float32)
     acc, m, l = jax.lax.fori_loop(0, n // block_k, body, (acc, m0, l0))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
-    lse_ref[0] = (m + jnp.log(l))[:, 0]
+    # (Bq, 1) broadcast over the 8-lane trailing axis: TPU block shapes
+    # need a lane-legal last dim, so lse rides as (BH, N, 8)
+    lse_ref[0] = jnp.broadcast_to(m + jnp.log(l), (bq, 8))
 
 
 def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
                scale: float, block_k: int):
     q = q_ref[0].astype(jnp.float32) * scale
     do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0][:, None]
-    delta = delta_ref[0][:, None]
+    lse = lse_ref[0][:, :1]
+    delta = delta_ref[0][:, :1]
     bq, d = q.shape
     n = k_ref.shape[1]
 
@@ -93,8 +95,8 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref,
         q = q_ref[0, pl.ds(i * block_q, block_q), :].astype(
             jnp.float32) * scale
         do = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[0, pl.ds(i * block_q, block_q)][:, None]
-        delta = delta_ref[0, pl.ds(i * block_q, block_q)][:, None]
+        lse = lse_ref[0, pl.ds(i * block_q, block_q), :1]
+        delta = delta_ref[0, pl.ds(i * block_q, block_q), :1]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         p = jnp.exp(s - lse)                             # (Bq, Bk)
@@ -142,12 +144,12 @@ def _flash_fwd_impl(q, k, v, scale, block_q, block_k, interpret):
         out_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda b, i: (b, i),
+            pl.BlockSpec((1, block_q, 8), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, n, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, n), jnp.float32),
+            jax.ShapeDtypeStruct((bh, n, 8), jnp.float32),
         ],
         interpret=interpret,
     )(q, k, v)
@@ -169,8 +171,9 @@ def _flash_core_fwd(q, k, v, scale, block_q, block_k, interpret):
 def _flash_core_bwd(scale, block_q, block_k, interpret, res, do):
     q, k, v, o, lse = res
     bh, n, d = q.shape
-    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
-                    axis=-1)                              # (BH, N)
+    delta = jnp.broadcast_to(
+        jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                axis=-1, keepdims=True), (bh, n, 8))      # lane-legal
 
     dq = pl.pallas_call(
         partial(_dq_kernel, scale=scale, block_k=block_k),
@@ -184,9 +187,9 @@ def _flash_core_bwd(scale, block_q, block_k, interpret, res, do):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda b, i: (b, i),
+            pl.BlockSpec((1, block_q, 8), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q), lambda b, i: (b, i),
+            pl.BlockSpec((1, block_q, 8), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
@@ -207,9 +210,9 @@ def _flash_core_bwd(scale, block_q, block_k, interpret, res, do):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, d), lambda b, j: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n), lambda b, j: (b, 0),
+            pl.BlockSpec((1, n, 8), lambda b, j: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n), lambda b, j: (b, 0),
+            pl.BlockSpec((1, n, 8), lambda b, j: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[

@@ -22,14 +22,32 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _gn_silu_kernel(x_ref, gamma_ref, beta_ref, scale_ref, shift_ref, o_ref,
                     *, groups: int, eps: float, film: bool):
+    """Reshape-free grouped statistics: Mosaic cannot lower a reshape that
+    splits the lane (channel) axis into (groups, cg), so group sums are
+    computed against a one-hot channel->group membership matrix instead —
+    two small MXU matmuls replace the (HW, G, cg) reduction, and the
+    per-channel mean/rstd come back via the transposed membership."""
     x = x_ref[0].astype(jnp.float32)               # (HW, C)
     hw, c = x.shape
     cg = c // groups
-    xg = x.reshape(hw, groups, cg)
-    mean = jnp.mean(xg, axis=(0, 2), keepdims=True)
-    var = jnp.mean((xg - mean) ** 2, axis=(0, 2), keepdims=True)
-    xn = (xg - mean) * jax.lax.rsqrt(var + eps)
-    xn = xn.reshape(hw, c)
+    # channel->group one-hot (C, G) built from 2-D iotas
+    ch_group = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 0) // cg
+    g_idx = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 1)
+    m = (ch_group == g_idx).astype(jnp.float32)    # (C, G)
+
+    s1 = jnp.sum(x, axis=0, keepdims=True)         # (1, C)
+    s2 = jnp.sum(x * x, axis=0, keepdims=True)
+    n = float(hw * cg)
+    mean_g = jnp.dot(s1, m, preferred_element_type=jnp.float32) / n  # (1, G)
+    ex2_g = jnp.dot(s2, m, preferred_element_type=jnp.float32) / n
+    var_g = ex2_g - mean_g * mean_g
+    rstd_g = jax.lax.rsqrt(var_g + eps)
+    # back to per-channel via the transpose: (1, G) @ (G, C)
+    mean_c = jax.lax.dot_general(mean_g, m, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    rstd_c = jax.lax.dot_general(rstd_g, m, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    xn = (x - mean_c) * rstd_c
     y = xn * gamma_ref[:].astype(jnp.float32) + beta_ref[:].astype(jnp.float32)
     if film:
         y = y * (1.0 + scale_ref[0].astype(jnp.float32)) \
