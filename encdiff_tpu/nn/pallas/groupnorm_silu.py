@@ -6,8 +6,9 @@ scale/shift from the timestep embedding, openaimodel_enc.py:268-271), and
 the SiLU — the GN-SiLU prologue of every UNet/VAE ResBlock collapsed from
 several XLA ops into one kernel.
 
-Groups are laid out contiguously along the channel axis (C = G * cg), so a
-reshape to (HW, G, cg) keeps the reduction in-lane.
+Groups are laid out contiguously along the channel axis (C = G * cg);
+grouped statistics go through a one-hot channel->group membership matmul
+(Mosaic cannot reshape across the lane axis — see the kernel docstring).
 """
 
 from __future__ import annotations
@@ -50,6 +51,7 @@ def _gn_silu_kernel(x_ref, gamma_ref, beta_ref, scale_ref, shift_ref, o_ref,
     xn = (x - mean_c) * rstd_c
     y = xn * gamma_ref[:].astype(jnp.float32) + beta_ref[:].astype(jnp.float32)
     if film:
+        # scale/shift ride as (B, 1, C) so their (1, C) block is lane-legal
         y = y * (1.0 + scale_ref[0].astype(jnp.float32)) \
             + shift_ref[0].astype(jnp.float32)
     o_ref[0] = (y * jax.nn.sigmoid(y)).astype(o_ref.dtype)
@@ -67,6 +69,8 @@ def groupnorm_silu(x, gamma, beta, scale=None, shift=None, *,
         scale = jnp.zeros((b, c), x.dtype)
         shift = jnp.zeros((b, c), x.dtype)
     x2 = x.reshape(b, h * w, c)
+    scale3 = scale.reshape(b, 1, c)
+    shift3 = shift.reshape(b, 1, c)
     kernel = partial(_gn_silu_kernel, groups=groups, eps=eps, film=film)
     out = pl.pallas_call(
         kernel,
@@ -76,14 +80,16 @@ def groupnorm_silu(x, gamma, beta, scale=None, shift=None, *,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
             pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, h * w, c), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h * w, c), x.dtype),
         interpret=interpret,
-    )(x2, gamma, beta, scale, shift)
+    )(x2, gamma, beta, scale3, shift3)
     return out.reshape(b, h, w, c)
 
 
