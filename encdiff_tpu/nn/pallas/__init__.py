@@ -22,12 +22,14 @@ import os
 
 
 def enabled(feature: str = "") -> bool:
-    """True when Pallas TPU kernels should be used: OPT-IN via
-    ENCDIFF_PALLAS on a TPU backend. The value is either a blanket switch
-    ("1"/"all"/"interpret") or a comma list of kernel families to enable
-    selectively — "gn" (fused GroupNorm+SiLU), "attn" (small fused
-    attention core), "flash" (blockwise large-N self-attention) — so each
-    kernel can be measured in isolation.
+    """Whether a Pallas kernel family is active on this backend.
+
+    ENCDIFF_PALLAS values: unset -> measured defaults (flash ON on TPU,
+    gn/attn off); "0"/"off" -> everything off; "1"/"all" -> everything on;
+    "interpret" -> everything on in interpret mode (CPU testing); or a
+    comma list of families — "gn" (fused GroupNorm+SiLU), "attn" (small
+    fused attention core), "flash" (blockwise large-N self-attention) —
+    to enable selectively for isolated measurement.
 
     Measured on one v5e chip at the flagship config (bs=128): the fused
     attention core wins its micro-benchmark (17us vs 19us fwd, 20us vs 24us
@@ -40,9 +42,15 @@ def enabled(feature: str = "") -> bool:
     64x64 latents = 4096-token self-attention) where VMEM-resident
     attention pays off."""
     val = os.environ.get("ENCDIFF_PALLAS", "")
-    if not val:
+    if val in ("0", "off", "none"):
         return False
-    if val not in ("1", "all", "interpret"):
+    if not val:
+        # measured defaults (BENCH_NOTES.md round 2): flash WINS 2.4x on
+        # 4096-token self-attention and is ON by default on TPU backends;
+        # gn/attn lose in-situ at EncDiff's small sizes and stay opt-in
+        if feature not in _DEFAULT_ON:
+            return False
+    elif val not in ("1", "all", "interpret"):
         feats = {f.strip() for f in val.split(",")}
         if feature and feature not in feats:
             return False
@@ -55,6 +63,9 @@ def enabled(feature: str = "") -> bool:
         return plat not in ("cpu",)
     except Exception:
         return False
+
+
+_DEFAULT_ON = {"flash"}
 
 
 def interpret() -> bool:
