@@ -188,6 +188,13 @@ def main():
         except Exception:
             pass
     vs = steps_per_s / prev if prev else 1.0
+    if prev and prev > 40:
+        # round-1's recorded 58-60 steps/s was a dispatch rate: the tunnel
+        # backend's block_until_ready returns before execution completes
+        # (BENCH_NOTES.md round-2 correction). Flag the comparison.
+        extra["vs_baseline_note"] = (
+            "r01 baseline was a dispatch rate (broken block_until_ready "
+            "on the tunnel); honest r2 re-measurement — see BENCH_NOTES.md")
 
     print(json.dumps({
         "metric": f"encdiff_shapes3d_train_step_throughput_bs{BATCH}",
