@@ -329,6 +329,7 @@ class Trainer:
                     repl)
                 steps_per_epoch = (len(self.data._raw("train"))
                                    // self.batch_size)
+                self._images_dev = images_dev
                 step_fn = train_loop.build_split_mcl_epoch_step(
                     model, optimizer, steps_per_epoch, mesh=self.mesh)
                 print(f"[harness] dataset cached on device "
@@ -349,6 +350,7 @@ class Trainer:
                 jnp.asarray(train_loop.flatten_for_device(images_host)),
                 repl)
             steps_per_epoch = len(self.data._raw("train")) // self.batch_size
+            self._images_dev = images_dev
             step_fn = train_loop.build_epoch_train_step(
                 model, optimizer, steps_per_epoch, mesh=self.mesh)
             print(f"[harness] dataset cached on device "
@@ -708,7 +710,11 @@ class Trainer:
             encode_fn = train_loop.build_encode_step(self.model,
                                                      mesh=self.mesh)
             step = int(np.asarray(jax.device_get(self.state.step)))
-            results = self.validate(encode_fn, epoch=-1, step=step)
+            # reuse the fit-time device-resident array: the one-dispatch
+            # sweep instead of streaming every batch through the host
+            results = self.validate(encode_fn, epoch=-1, step=step,
+                                    images_dev=getattr(self, "_images_dev",
+                                                       None))
         with open(out_path, "w") as fh:
             json.dump(results, fh, indent=2)
         print(f"[harness] test results -> {out_path}: " + " ".join(
