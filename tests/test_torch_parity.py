@@ -191,3 +191,96 @@ def test_vae_encoder_decoder_parity(ref_path):
         variables, jnp.asarray(z),
         method=lambda m, zz: m.decoder(zz)))
     np.testing.assert_allclose(d, d_ref, rtol=2e-4, atol=2e-4)
+
+
+def test_ddim_tables_parity(ref_path):
+    """DDIM timestep-subset + (sigma, alpha, alpha_prev) tables match the
+    reference's make_ddim_timesteps/make_ddim_sampling_parameters
+    (diffusionmodules/util.py:73-103) bit-for-bit."""
+    _torch()
+    import torch as t
+
+    from ldm.modules.diffusionmodules.util import (
+        make_ddim_sampling_parameters as ref_params,
+        make_ddim_timesteps as ref_steps)
+
+    from encdiff_tpu.core.schedules import (make_ddim_sampling_parameters,
+                                            make_ddim_timesteps)
+
+    acp = np.cumprod(1.0 - np.linspace(0.0015, 0.0155, 100)).astype(
+        np.float64)
+    for eta in (0.0, 1.0):
+        rs = ref_steps("uniform", 20, 100, verbose=False)
+        ours = make_ddim_timesteps("uniform", 20, 100)
+        np.testing.assert_array_equal(np.asarray(rs), np.asarray(ours))
+        r_sig, r_a, r_ap, _ = ref_params(t.from_numpy(acp), rs, eta,
+                                         verbose=False)
+        o_sig, o_a, o_ap, _ = make_ddim_sampling_parameters(acp, ours, eta)
+        np.testing.assert_allclose(np.asarray(r_sig), np.asarray(o_sig),
+                                   rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(r_a), np.asarray(o_a),
+                                   rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(r_ap), np.asarray(o_ap),
+                                   rtol=1e-12)
+
+
+def test_ddim_chain_parity(ref_path):
+    """Full 20-step eta=0 DDIM chain matches the reference's
+    p_sample_ddim update loop (ddim.py:168-207) run through the ACTUAL
+    reference method on a stub sampler, with an identical deterministic
+    denoiser on both sides."""
+    torch = _torch()
+
+    from ldm.models.diffusion.ddim import DDIMSampler
+    from ldm.modules.diffusionmodules.util import (
+        make_ddim_sampling_parameters as ref_params,
+        make_ddim_timesteps as ref_steps)
+
+    import jax
+    import jax.numpy as jnp
+
+    from encdiff_tpu.core.schedules import DDIMSchedule, DiffusionSchedule
+    from encdiff_tpu.diffusion.ddim import ddim_sample
+
+    betas = np.linspace(0.0015, 0.0155, 100)
+    sched = DiffusionSchedule.create(timesteps=100, beta_schedule="linear",
+                                     linear_start=0.0015, linear_end=0.0155)
+    acp = np.asarray(sched.alphas_cumprod, np.float64)
+
+    # deterministic eps-model identical in both frameworks
+    def eps_np(x, tval):
+        return 0.1 * x + 0.05 * np.sin(0.01 * float(tval))
+
+    class StubModel:
+        def apply_model(self, x, t, c):
+            return 0.1 * x + 0.05 * torch.sin(0.01 * t.float())[:, None,
+                                                                None, None]
+
+    stub = DDIMSampler.__new__(DDIMSampler)
+    stub.model = StubModel()
+    ts = ref_steps("uniform", 20, 100, verbose=False)
+    sig, al, alp, _ = ref_params(torch.from_numpy(acp), ts, 0.0,
+                                 verbose=False)
+    stub.ddim_alphas = al
+    stub.ddim_alphas_prev = torch.from_numpy(np.asarray(alp))
+    stub.ddim_sigmas = sig
+    stub.ddim_sqrt_one_minus_alphas = torch.sqrt(1.0 - al)
+
+    x0_init = np.random.RandomState(0).randn(2, 8, 8, 3).astype(np.float32)
+    # reference loop (ddim_sampling, ddim.py:114-166): reversed timesteps
+    x_t = torch.from_numpy(x0_init.transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        for i, step in enumerate(np.flip(ts)):
+            index = len(ts) - 1 - i
+            t_b = torch.full((2,), int(step), dtype=torch.long)
+            x_t, _ = DDIMSampler.p_sample_ddim(stub, x_t, None, t_b, index)
+    ref_out = x_t.numpy().transpose(0, 2, 3, 1)
+
+    dsched = DDIMSchedule.create(sched, 20, eta=0.0)
+    denoise = lambda x, t: 0.1 * x + 0.05 * jnp.sin(
+        0.01 * t.astype(jnp.float32))[:, None, None, None]
+    ours, _ = ddim_sample(dsched, denoise, (2, 8, 8, 3),
+                          jax.random.PRNGKey(0),
+                          x_T=jnp.asarray(x0_init))
+    np.testing.assert_allclose(np.asarray(ours), ref_out, rtol=2e-5,
+                               atol=2e-5)
