@@ -284,3 +284,42 @@ def test_ddim_chain_parity(ref_path):
                           x_T=jnp.asarray(x0_init))
     np.testing.assert_allclose(np.asarray(ours), ref_out, rtol=2e-5,
                                atol=2e-5)
+
+
+def test_lr_scheduler_parity(ref_path):
+    """All three LR lambda schedulers match the reference implementations
+    (ldm/lr_scheduler.py:4-98) pointwise over warmup, decay, and
+    multi-cycle boundaries."""
+    from ldm.lr_scheduler import (
+        LambdaLinearScheduler as RefLinear,
+        LambdaWarmUpCosineScheduler as RefCos,
+        LambdaWarmUpCosineScheduler2 as RefCos2)
+
+    from encdiff_tpu.core.lr_scheduler import (
+        LambdaLinearScheduler, LambdaWarmUpCosineScheduler,
+        LambdaWarmUpCosineScheduler2)
+
+    probe = list(range(0, 50)) + [99, 100, 101, 500, 999, 1000, 1500, 4999]
+
+    r = RefCos(warm_up_steps=10, lr_min=0.1, lr_max=1.0, lr_start=0.01,
+               max_decay_steps=1000)
+    o = LambdaWarmUpCosineScheduler(warm_up_steps=10, lr_min=0.1, lr_max=1.0,
+                                    lr_start=0.01, max_decay_steps=1000)
+    for n in probe:
+        np.testing.assert_allclose(o(n), r.schedule(n), rtol=1e-12, err_msg=n)
+
+    kw = dict(warm_up_steps=[10, 5], f_min=[0.1, 0.05], f_max=[1.0, 0.8],
+              f_start=[0.01, 0.02], cycle_lengths=[100, 1000])
+    r2, o2 = RefCos2(**kw), LambdaWarmUpCosineScheduler2(**kw)
+    # the reference crashes past the last cumulative cycle boundary
+    # (find_in_interval returns None); compare within its valid domain
+    for n in [p for p in probe if p <= 1100]:
+        np.testing.assert_allclose(o2(n), r2.schedule(n), rtol=1e-12,
+                                   err_msg=n)
+
+    kw3 = dict(warm_up_steps=[100], f_min=[1.0], f_max=[1.0],
+               f_start=[1e-6], cycle_lengths=[10000000000000])
+    r3, o3 = RefLinear(**kw3), LambdaLinearScheduler(**kw3)
+    for n in probe + [10**6]:
+        np.testing.assert_allclose(o3(n), r3.schedule(n), rtol=1e-12,
+                                   err_msg=n)
