@@ -323,3 +323,64 @@ def test_lr_scheduler_parity(ref_path):
     for n in probe + [10**6]:
         np.testing.assert_allclose(o3(n), r3.schedule(n), rtol=1e-12,
                                    err_msg=n)
+
+
+def test_beta_schedules_and_timestep_embedding_parity(ref_path):
+    """make_beta_schedule (all EncDiff-exercised types) and the sinusoidal
+    timestep embedding match diffusionmodules/util.py:21-70,179-199."""
+    torch = _torch()
+
+    from ldm.modules.diffusionmodules.util import (
+        make_beta_schedule as ref_betas,
+        timestep_embedding as ref_emb)
+
+    from encdiff_tpu.core.schedules import make_beta_schedule
+    from encdiff_tpu.nn.layers import timestep_embedding
+
+    import jax.numpy as jnp
+
+    for sched in ("linear", "cosine", "sqrt_linear", "sqrt"):
+        r = np.asarray(ref_betas(sched, 100, linear_start=0.0015,
+                                 linear_end=0.0155))
+        o = np.asarray(make_beta_schedule(sched, 100, linear_start=0.0015,
+                                          linear_end=0.0155))
+        np.testing.assert_allclose(o, r, rtol=1e-10, err_msg=sched)
+
+    t = np.array([0, 1, 17, 500, 999], np.int64)
+    r = ref_emb(torch.from_numpy(t), 64).numpy()
+    o = np.asarray(timestep_embedding(jnp.asarray(t), 64))
+    np.testing.assert_allclose(o, r, rtol=1e-5, atol=1e-6)
+    # odd dim zero-pad branch
+    r = ref_emb(torch.from_numpy(t), 31).numpy()
+    o = np.asarray(timestep_embedding(jnp.asarray(t), 31))
+    np.testing.assert_allclose(o, r, rtol=1e-5, atol=1e-6)
+
+
+def test_diagonal_gaussian_parity(ref_path):
+    """DiagonalGaussianDistribution kl/nll/mode match
+    distributions/distributions.py:24-67 on the same parameters."""
+    torch = _torch()
+
+    from ldm.modules.distributions.distributions import (
+        DiagonalGaussianDistribution as RefDist)
+
+    import jax.numpy as jnp
+
+    from encdiff_tpu.core.distributions import DiagonalGaussianDistribution
+
+    rs = np.random.RandomState(0)
+    params = rs.randn(2, 4, 4, 6).astype(np.float32)  # mean|logvar on C
+    x = rs.randn(2, 4, 4, 3).astype(np.float32)
+
+    # reference is NCHW with chunk on dim 1
+    rd = RefDist(torch.from_numpy(params.transpose(0, 3, 1, 2)))
+    od = DiagonalGaussianDistribution(jnp.asarray(params))
+
+    np.testing.assert_allclose(np.asarray(od.mode()).transpose(0, 3, 1, 2),
+                               rd.mode().numpy(), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(od.kl()), rd.kl().numpy(),
+                               rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(od.nll(jnp.asarray(x))),
+        rd.nll(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy(),
+        rtol=1e-5)
