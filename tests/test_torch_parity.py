@@ -384,3 +384,42 @@ def test_diagonal_gaussian_parity(ref_path):
         np.asarray(od.nll(jnp.asarray(x))),
         rd.nll(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy(),
         rtol=1e-5)
+
+
+def test_ema_parity(ref_path):
+    """EMA decay-warmup trajectory matches LitEma (ema.py:5-45) over 20
+    updates with evolving params."""
+    torch = _torch()
+
+    from ldm.modules.ema import LitEma
+
+    import jax.numpy as jnp
+
+    from encdiff_tpu.core import ema as ema_lib
+
+    tm = torch.nn.Linear(4, 3)
+    lit = LitEma(tm, decay=0.999, use_num_upates=True)
+
+    w0 = tm.weight.detach().numpy().copy()
+    b0 = tm.bias.detach().numpy().copy()
+    params = {"w": jnp.asarray(w0), "b": jnp.asarray(b0)}
+    state = ema_lib.init(params)
+
+    rs = np.random.RandomState(0)
+    for i in range(20):
+        dw = rs.randn(3, 4).astype(np.float32) * 0.01
+        db = rs.randn(3).astype(np.float32) * 0.01
+        with torch.no_grad():
+            tm.weight += torch.from_numpy(dw)
+            tm.bias += torch.from_numpy(db)
+        lit(tm)
+        params = {"w": params["w"] + dw, "b": params["b"] + db}
+        state = ema_lib.update(state, params, decay=0.999)
+
+    shadows = dict(lit.named_buffers())
+    np.testing.assert_allclose(np.asarray(state.params["w"]),
+                               shadows["weight"].numpy(), rtol=1e-5,
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(state.params["b"]),
+                               shadows["bias"].numpy(), rtol=1e-5,
+                               atol=1e-7)
