@@ -423,3 +423,91 @@ def test_ema_parity(ref_path):
     np.testing.assert_allclose(np.asarray(state.params["b"]),
                                shadows["bias"].numpy(), rtol=1e-5,
                                atol=1e-7)
+
+
+def test_mcl_infonce_mechgrad_parity(ref_path):
+    """The MCL flagship loss (infonce_mechgrad — the only deterministic
+    type: no perms/noise) matches mcl_utils.py:134-144 with identical
+    critic/projection weights and an identical analytic decoder on both
+    sides, including the grad-through-critic mechanism features. The
+    z-flatten order differs (NCHW vs NHWC), so the z_fc / Pi_g input
+    columns are permuted accordingly."""
+    torch = _torch()
+
+    from ldm.models.diffusion.mcl_utils import (MechanismCritic as RefCritic,
+                                                MLPProj as RefProj,
+                                                mcl_loss as ref_mcl_loss)
+
+    import jax
+    import jax.numpy as jnp
+
+    from encdiff_tpu.losses import mcl as mcl_lib
+
+    B, C, H, W, U, P = 4, 3, 8, 8, 5, 32
+    rs = np.random.RandomState(0)
+    z_nchw = rs.randn(B, C, H, W).astype(np.float32)
+    u = rs.randn(B, U).astype(np.float32)
+    wc = rs.randn(U, C).astype(np.float32) * 0.1
+
+    t_critic = RefCritic(z_shape=(C, H, W), u_dim=U).eval()
+    t_pig = RefProj(C * H * W, P).eval()
+    t_piu = RefProj(U, P).eval()
+
+    def t_decoder(z, uu):
+        up = z.repeat_interleave(4, -1).repeat_interleave(4, -2) * 0.5
+        return up + (uu @ torch.from_numpy(wc))[:, :, None, None]
+
+    z_t = torch.from_numpy(z_nchw.copy())
+    ref = ref_mcl_loss("infonce_mechgrad", t_decoder, z_t,
+                       torch.from_numpy(u), critic=t_critic, Pi_g=t_pig,
+                       Pi_u=t_piu, tau=0.1).item()
+
+    # ---- convert weights to the flax trees -------------------------------
+    # CHW-flat -> HWC-flat input-column permutation
+    perm = np.zeros(C * H * W, np.int64)
+    for h in range(H):
+        for w in range(W):
+            for c in range(C):
+                perm[h * W * C + w * C + c] = c * H * W + h * W + w
+
+    def dense(tlin, in_perm=None):
+        k = tlin.weight.detach().numpy().T.copy()
+        if in_perm is not None:
+            k = k[in_perm]
+        return {"Dense_0": {"kernel": jnp.asarray(k),
+                            "bias": jnp.asarray(
+                                tlin.bias.detach().numpy())}}
+
+    def conv(tc):
+        return {"Conv_0": {
+            "kernel": jnp.asarray(
+                tc.weight.detach().numpy().transpose(2, 3, 1, 0)),
+            "bias": jnp.asarray(tc.bias.detach().numpy())}}
+
+    modules = mcl_lib.build_mcl_modules((H, W, C), u_dim=U, proj_dim=P)
+    params = {
+        "critic": {"params": {
+            "img_conv1": conv(t_critic.img[0]),
+            "img_conv2": conv(t_critic.img[2]),
+            "z_fc": dense(t_critic.z_fc, in_perm=perm),
+            "u_fc": dense(t_critic.u_fc),
+            "out": dense(t_critic.out[1]),
+        }},
+        "Pi_g": {"params": {"fc1": dense(t_pig.net[0], in_perm=perm),
+                            "fc2": dense(t_pig.net[2])}},
+        "Pi_u": {"params": {"fc1": dense(t_piu.net[0]),
+                            "fc2": dense(t_piu.net[2])}},
+    }
+
+    wc_j = jnp.asarray(wc)
+
+    def j_decoder(z, uu):
+        up = jnp.repeat(jnp.repeat(z, 4, axis=1), 4, axis=2) * 0.5
+        return up + (uu @ wc_j)[:, None, None, :]
+
+    z_nhwc = jnp.asarray(z_nchw.transpose(0, 2, 3, 1))
+    ours = float(mcl_lib.mcl_loss(
+        loss_type="infonce_mechgrad", decoder_G=j_decoder, z=z_nhwc,
+        u_key=jnp.asarray(u), modules=modules, params=params,
+        rng=jax.random.PRNGKey(0), tau=0.1))
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
