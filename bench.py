@@ -183,18 +183,18 @@ def main():
             with open(f) as fh:
                 rec = json.load(fh)
             parsed = rec.get("parsed", rec)
-            if parsed.get("unit", "").startswith("train_steps"):
-                prev = parsed.get("value")
+            if not parsed.get("unit", "").startswith("train_steps"):
+                continue
+            if float(parsed.get("value") or 0) > 40:
+                # round-1's recorded 58-60 steps/s was a dispatch rate: the
+                # tunnel backend's block_until_ready returns before execution
+                # completes (BENCH_NOTES.md round-2 correction). EXCLUDE it
+                # from the comparison so it never poisons future ratios.
+                continue
+            prev = parsed.get("value")
         except Exception:
             pass
     vs = steps_per_s / prev if prev else 1.0
-    if prev and prev > 40:
-        # round-1's recorded 58-60 steps/s was a dispatch rate: the tunnel
-        # backend's block_until_ready returns before execution completes
-        # (BENCH_NOTES.md round-2 correction). Flag the comparison.
-        extra["vs_baseline_note"] = (
-            "r01 baseline was a dispatch rate (broken block_until_ready "
-            "on the tunnel); honest r2 re-measurement — see BENCH_NOTES.md")
 
     print(json.dumps({
         "metric": f"encdiff_shapes3d_train_step_throughput_bs{BATCH}",

@@ -511,3 +511,68 @@ def test_mcl_infonce_mechgrad_parity(ref_path):
         u_key=jnp.asarray(u), modules=modules, params=params,
         rng=jax.random.PRNGKey(0), tau=0.1))
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_plms_chain_parity(ref_path):
+    """Full 50-step PLMS trajectory matches the reference's p_sample_plms
+    multistep loop (plms.py:118-236: Euler-midpoint first step, then
+    2nd/3rd/4th-order Adams-Bashforth eps combinations) run through the
+    ACTUAL reference method on a stub sampler, with an identical
+    deterministic denoiser on both sides."""
+    torch = _torch()
+
+    from ldm.models.diffusion.plms import PLMSSampler
+    from ldm.modules.diffusionmodules.util import (
+        make_ddim_sampling_parameters as ref_params,
+        make_ddim_timesteps as ref_steps)
+
+    import jax.numpy as jnp
+
+    from encdiff_tpu.core.schedules import DDIMSchedule, DiffusionSchedule
+    from encdiff_tpu.diffusion.plms import plms_sample
+
+    S, T = 50, 1000
+    sched = DiffusionSchedule.create(timesteps=T, beta_schedule="linear",
+                                     linear_start=0.0015, linear_end=0.0155)
+    acp = np.asarray(sched.alphas_cumprod, np.float64)
+
+    class StubModel:
+        def apply_model(self, x, t, c):
+            return 0.1 * x + 0.05 * torch.sin(0.01 * t.float())[:, None,
+                                                                None, None]
+
+    stub = PLMSSampler.__new__(PLMSSampler)
+    stub.model = StubModel()
+    ts = ref_steps("uniform", S, T, verbose=False)
+    sig, al, alp, _ = ref_params(torch.from_numpy(acp), ts, 0.0,
+                                 verbose=False)
+    stub.ddim_alphas = al
+    stub.ddim_alphas_prev = torch.from_numpy(np.asarray(alp))
+    stub.ddim_sigmas = sig
+    stub.ddim_sqrt_one_minus_alphas = torch.sqrt(1.0 - al)
+
+    x0_init = np.random.RandomState(3).randn(2, 8, 8, 3).astype(np.float32)
+    time_range = np.flip(ts)
+    x_t = torch.from_numpy(x0_init.transpose(0, 3, 1, 2))
+    old_eps = []
+    with torch.no_grad():
+        for i, step in enumerate(time_range):
+            index = S - 1 - i
+            t_b = torch.full((2,), int(step), dtype=torch.long)
+            t_next = torch.full(
+                (2,), int(time_range[min(i + 1, S - 1)]), dtype=torch.long)
+            x_t, _, e_t = PLMSSampler.p_sample_plms(
+                stub, x_t, None, t_b, index=index, old_eps=old_eps,
+                t_next=t_next)
+            old_eps.append(e_t)
+            if len(old_eps) >= 4:
+                old_eps.pop(0)
+    ref_out = x_t.numpy().transpose(0, 2, 3, 1)
+
+    dsched = DDIMSchedule.create(sched, S, eta=0.0)
+    denoise = lambda x, t: 0.1 * x + 0.05 * jnp.sin(
+        0.01 * t.astype(jnp.float32))[:, None, None, None]
+    ours = plms_sample(dsched, denoise, (2, 8, 8, 3), None,
+                       x_T=jnp.asarray(x0_init))
+    np.testing.assert_allclose(np.asarray(ours), ref_out, rtol=2e-5,
+                               atol=2e-5)
