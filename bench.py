@@ -50,6 +50,12 @@ DDIM_STEPS = int(os.environ.get("BENCH_DDIM_STEPS", "200"))
 DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
 # Skip the secondary metrics (DDIM + cost analysis) for quick runs.
 FULL = os.environ.get("BENCH_FULL", "1") == "1"
+# Independent switches for sweep runs (scripts/bench_sweep.py):
+# BENCH_DDIM=0 skips the sampling section even when FULL; BENCH_TRAIN=0
+# skips the train-step section (DDIM-only measurements).
+DO_DDIM = FULL and os.environ.get("BENCH_DDIM", "1") == "1"
+DO_TRAIN = os.environ.get("BENCH_TRAIN", "1") == "1"
+SAMPLE_BATCH = int(os.environ.get("BENCH_SAMPLE_BATCH", str(BATCH)))
 
 # Peak dense matmul throughput per chip for MFU. v5e: 197 TFLOP/s bf16,
 # 98.5 fp32 (public spec). Overridable for other chip generations.
@@ -96,48 +102,47 @@ def main():
         lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
         (state, frozen, batch, rngs[0]))
 
-    for i in range(WARMUP):
-        state, metrics = step_fn(state, frozen, batch, rngs[i])
-    # full host fetch, not block_until_ready: the tunnel backend's
-    # block_until_ready returns before execution completes
-    jax.device_get(metrics)
-
-    # best of 3 windows: the shared tunnel chip shows large run-to-run
-    # variance (16.5 vs 25.2 steps/s for identical code); the max window is
-    # the least-interfered measurement
-    window_rates = []
-    for w in range(3):
-        t0 = time.perf_counter()
-        for i in range(ITERS):
-            state, metrics = step_fn(
-                state, frozen, batch,
-                jax.random.fold_in(rngs[WARMUP], w * ITERS + i))
+    steps_per_s = 0.0
+    extra = {"batch": BATCH, "dtype": DTYPE}
+    if DO_TRAIN:
+        for i in range(WARMUP):
+            state, metrics = step_fn(state, frozen, batch, rngs[i])
+        # full host fetch, not block_until_ready: the tunnel backend's
+        # block_until_ready returns before execution completes
         jax.device_get(metrics)
-        window_rates.append(ITERS / (time.perf_counter() - t0))
 
-    train_flops = 0.0
-    if FULL:
-        try:
-            train_flops = _flops_of(
-                jax.jit(step_fn, donate_argnums=())
-                .lower(*specs).compile())
-        except Exception:
-            train_flops = 0.0
+        # best of 3 windows: the shared tunnel chip shows large run-to-run
+        # variance (16.5 vs 25.2 steps/s for identical code); the max window
+        # is the least-interfered measurement
+        window_rates = []
+        for w in range(3):
+            t0 = time.perf_counter()
+            for i in range(ITERS):
+                state, metrics = step_fn(
+                    state, frozen, batch,
+                    jax.random.fold_in(rngs[WARMUP], w * ITERS + i))
+            jax.device_get(metrics)
+            window_rates.append(ITERS / (time.perf_counter() - t0))
 
-    steps_per_s = max(window_rates)
-    extra = {
-        "images_per_s": round(steps_per_s * BATCH, 1),
-        "batch": BATCH,
-        "dtype": DTYPE,
-        "window_steps_per_s": [round(r, 2) for r in window_rates],
-    }
-    if train_flops > 0:
-        tflops = train_flops * steps_per_s / 1e12
-        extra["train_tflops_per_s"] = round(tflops, 2)
-        extra["train_mfu"] = round(tflops / PEAK_TFLOPS, 4)
+        train_flops = 0.0
+        if FULL:
+            try:
+                train_flops = _flops_of(
+                    jax.jit(step_fn, donate_argnums=())
+                    .lower(*specs).compile())
+            except Exception:
+                train_flops = 0.0
 
-    # --- DDIM 200-step sampling + VQ decode (north star #2) ---
-    if FULL:
+        steps_per_s = max(window_rates)
+        extra["images_per_s"] = round(steps_per_s * BATCH, 1)
+        extra["window_steps_per_s"] = [round(r, 2) for r in window_rates]
+        if train_flops > 0:
+            tflops = train_flops * steps_per_s / 1e12
+            extra["train_tflops_per_s"] = round(tflops, 2)
+            extra["train_mfu"] = round(tflops / PEAK_TFLOPS, 4)
+
+    # --- DDIM sampling + VQ decode (north star #2) ---
+    if DO_DDIM:
         from encdiff_tpu.core.schedules import DDIMSchedule
         from encdiff_tpu.diffusion import ddim as ddim_lib
 
@@ -145,12 +150,19 @@ def main():
                      "batch_stats": state.batch_stats}
         dsched = DDIMSchedule.create(model.schedule, DDIM_STEPS, eta=1.0)
 
+        sbatch = batch
+        if SAMPLE_BATCH != BATCH:
+            sbatch = jnp.asarray(
+                np.random.RandomState(1)
+                .uniform(-1, 1, size=(SAMPLE_BATCH, 64, 64, 3))
+                .astype(np.float32))
+
         def sample_fn(unet_params, cond_vars, fs_vars, images, rng):
             u = model.cond_encoding(cond_vars, images)
             tokens = model.cond_warp(cond_vars, u)
             if tokens.ndim == 3:
                 tokens = tokens.reshape(tokens.shape[0], -1)
-            shape = (BATCH, model.image_size, model.image_size,
+            shape = (SAMPLE_BATCH, model.image_size, model.image_size,
                      model.channels)
             denoise = lambda x, t: model.apply_model(
                 {"params": unet_params}, x, t, tokens)
@@ -159,17 +171,20 @@ def main():
 
         sample_jit = jax.jit(sample_fn)
         args = (state.params["unet"], cond_vars,
-                frozen["first_stage"], batch, jax.random.PRNGKey(7))
+                frozen["first_stage"], sbatch, jax.random.PRNGKey(7))
         out = sample_jit(*args)
         np.asarray(out)  # full host fetch: the remote-tunnel backend's
         # block_until_ready returns before execution completes
         t0 = time.perf_counter()
         for i in range(SAMPLE_ITERS):
-            out = sample_jit(args[0], args[1], args[2], batch,
+            out = sample_jit(args[0], args[1], args[2], sbatch,
                              jax.random.PRNGKey(11 + i))
         np.asarray(out)
         ddt = time.perf_counter() - t0
-        extra["ddim200_samples_per_s"] = round(SAMPLE_ITERS * BATCH / ddt, 1)
+        extra["ddim_steps"] = DDIM_STEPS
+        extra["sample_batch"] = SAMPLE_BATCH
+        extra["ddim200_samples_per_s"] = round(
+            SAMPLE_ITERS * SAMPLE_BATCH / ddt, 1)
         sample_flops = _flops_of(sample_jit.lower(*args).compile())
         if sample_flops > 0:
             stflops = sample_flops * SAMPLE_ITERS / ddt / 1e12
@@ -196,13 +211,23 @@ def main():
             pass
     vs = steps_per_s / prev if prev else 1.0
 
-    print(json.dumps({
-        "metric": f"encdiff_shapes3d_train_step_throughput_bs{BATCH}",
-        "value": round(steps_per_s, 3),
-        "unit": "train_steps/sec/chip",
-        "vs_baseline": round(vs, 3),
-        "extra": extra,
-    }))
+    if DO_TRAIN:
+        rec = {
+            "metric": f"encdiff_shapes3d_train_step_throughput_bs{BATCH}",
+            "value": round(steps_per_s, 3),
+            "unit": "train_steps/sec/chip",
+            "vs_baseline": round(vs, 3),
+            "extra": extra,
+        }
+    else:  # DDIM-only sweep run
+        rec = {
+            "metric": f"encdiff_ddim{DDIM_STEPS}_sampling_bs{SAMPLE_BATCH}",
+            "value": extra.get("ddim200_samples_per_s", 0.0),
+            "unit": "samples/sec/chip",
+            "vs_baseline": 1.0,
+            "extra": extra,
+        }
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

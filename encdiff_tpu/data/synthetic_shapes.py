@@ -115,6 +115,110 @@ def render_all(size: int = 64, horizon: float = 0.55,
     return out
 
 
+def render_all_v2(size: int = 64, horizon: float = 0.55,
+                  factor_sizes=None) -> np.ndarray:
+    """Shapes3D-faithful renderer, second generation.
+
+    Differences from :func:`render_all`, each motivated by the physics of
+    the real ray-traced Shapes3D scenes (shapes3d.py:44 semantics) and by
+    the round-2 DCI plateau diagnosis (VERDICT r2, missing #1):
+
+    - **orientation = camera azimuth**, not object position: it slides the
+      wall-corner line and rotates the object silhouette in place, while
+      the object stays centered — so ``orientation`` and ``scale`` no
+      longer deform the same silhouette degrees of freedom, and
+      orientation no longer modulates which floor/wall pixels the object
+      occludes (the main factor-pixel interaction of the v1 renderer).
+    - **anti-aliased signed-distance masks**: scale/orientation become
+      smooth, sub-pixel-codable signals like the real renders, instead of
+      jagged integer-pixel mask flips.
+    - **shading**: two-tone wall corner, floor vertical gradient, radial
+      object highlight — within-region gradients as in lit 3D scenes.
+    """
+    fs = list(FACTOR_SIZES if factor_sizes is None else factor_sizes)
+    f_floor, f_wall, f_obj, f_scale, f_shape, f_orient = fs
+    n_images = int(np.prod(fs))
+    hy = int(size * horizon)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+
+    floor_colors = np.stack([_hue_rgb(i, f_floor) for i in range(f_floor)])
+    wall_colors = np.stack([_hue_rgb(i, f_wall, s=0.6, v=0.8)
+                            for i in range(f_wall)])
+    obj_colors = np.stack([_hue_rgb(i, f_obj, s=1.0, v=1.0)
+                           for i in range(f_obj)])
+
+    # ---- backgrounds: (wall_hue, orientation) wall + floor_hue floor ----
+    # camera azimuth slides the wall-corner line across the image; the two
+    # wall faces get different lambertian shades.
+    corner_x = np.array([
+        size * (0.2 + 0.6 * (o / max(f_orient - 1, 1)))
+        for o in range(f_orient)], np.float32)              # (f_orient,)
+    edge = 1.2  # px soft edge (anti-aliasing width)
+    # wall face blend per orientation: (f_orient, hy, size) in [0,1]
+    wall_blend = np.clip(
+        (xx[None, :hy, :] - corner_x[:, None, None]) / edge + 0.5, 0.0, 1.0)
+    # floor shading: subtle depth gradient
+    floor_shade = (0.82 + 0.18 * (yy[hy:, :] - hy) / max(size - hy, 1))
+    wall_shade_l, wall_shade_r = 0.78, 1.0
+
+    # ---- object geometry: (scale, shape, orientation) alpha+shade -------
+    cx, cy = size / 2.0, size * 0.62
+    dx, dy = xx - cx, yy - cy
+    n_geo = f_scale * f_shape * f_orient
+    alpha = np.empty((n_geo, size, size, 1), np.float32)
+    shade_obj = np.empty((n_geo, size, size, 1), np.float32)
+    g = 0
+    for sc in range(f_scale):
+        radius = 8.0 + 9.0 * (sc / max(f_scale - 1, 1))
+        for sh in range(f_shape):
+            for o in range(f_orient):
+                # in-place rotation by azimuth (object stays centered)
+                ang = 0.5 * np.pi * (o / max(f_orient, 1))
+                ca, sa = np.cos(ang), np.sin(ang)
+                rx, ry = ca * dx + sa * dy, -sa * dx + ca * dy
+                if sh == 0:      # square: Chebyshev signed distance
+                    d = np.maximum(np.abs(rx), np.abs(ry)) - radius
+                elif sh == 1:    # circle (rotation-invariant, like spheres)
+                    d = np.sqrt(dx * dx + dy * dy) - radius
+                elif sh == 2:    # triangle (pointing up), approximate sdf
+                    d = np.maximum(np.abs(rx) * 2.0 - (ry + radius),
+                                   np.abs(ry) - radius)
+                    d = d * 0.5
+                else:            # diamond (L1 ball)
+                    d = (np.abs(rx) + np.abs(ry) - radius * 1.3) * 0.7071
+                alpha[g, :, :, 0] = np.clip(0.5 - d / edge, 0.0, 1.0)
+                # radial highlight toward upper-left, fixed light direction
+                rr = np.sqrt((dx + 0.35 * radius) ** 2 +
+                             (dy + 0.35 * radius) ** 2) / max(radius, 1.0)
+                shade_obj[g, :, :, 0] = 1.05 - 0.25 * np.clip(rr, 0, 1.6)
+                g += 1
+
+    geo_orient = (np.arange(n_geo) % f_orient)  # orientation of each geo idx
+
+    out = np.empty((n_images, size, size, 3), np.uint8)
+    idx = 0
+    obj_cols = obj_colors[:, None, None, :]  # (f_obj,1,1,3)
+    # wall-face blend is orientation- but not hue-dependent; precompute once
+    wall_mix = (wall_shade_l + (wall_shade_r - wall_shade_l)
+                * wall_blend)[..., None]      # (f_orient, hy, size, 1)
+    for fl in range(f_floor):
+        floor_rgb = floor_shade[..., None] * floor_colors[fl]
+        for wa in range(f_wall):
+            # per-orientation wall strips: (f_orient, hy, size, 3)
+            wall_rgb = wall_mix * wall_colors[wa]
+            for ob in range(f_obj):
+                col = obj_cols[ob] * shade_obj  # (n_geo,size,size,3)
+                blk = np.empty((n_geo, size, size, 3), np.float32)
+                blk[:, :hy] = wall_rgb[geo_orient]
+                blk[:, hy:] = floor_rgb
+                blk = alpha * col + (1.0 - alpha) * blk
+                np.copyto(out[idx:idx + n_geo],
+                          np.clip(blk, 0, 255).astype(np.uint8))
+                idx += n_geo
+    assert idx == n_images
+    return out
+
+
 _CACHE: dict[tuple, np.ndarray] = {}
 
 
@@ -185,6 +289,42 @@ class SyntheticShapes3DFull(SyntheticShapes3D):
 
 
 class SyntheticShapes3DFullTrain(SyntheticShapes3DFull):
+    pass
+
+
+class SyntheticShapes3DV2Full(ArrayDataset):
+    """The 480,000-image grid rendered by :func:`render_all_v2`
+    (camera-azimuth orientation, anti-aliased SDF masks, shaded scenes).
+    Same factor structure as :class:`SyntheticShapes3DFull`; pairs with
+    ``eval_name: synthetic_shapes_full``. The render (~4 min on one core)
+    is disk-cached under ``$ENCDIFF_DATA_CACHE`` (default
+    ``/tmp/encdiff_cache``)."""
+
+    factor_sizes = FULL_FACTOR_SIZES
+
+    def __init__(self, image_size: int = 64, **kwargs):
+        del kwargs
+        key = ("v2", image_size, tuple(self.factor_sizes))
+        if key not in _CACHE:
+            import os
+
+            cache_dir = os.environ.get("ENCDIFF_DATA_CACHE",
+                                       "/tmp/encdiff_cache")
+            tag = "x".join(map(str, self.factor_sizes))
+            path = os.path.join(cache_dir, f"shapes3d_v2_{image_size}_"
+                                           f"{tag}.npy")
+            if os.path.exists(path):
+                _CACHE[key] = np.load(path, mmap_mode="r")
+            else:
+                arr = render_all_v2(image_size,
+                                    factor_sizes=self.factor_sizes)
+                os.makedirs(cache_dir, exist_ok=True)
+                np.save(path, arr)
+                _CACHE[key] = arr
+        super().__init__(_CACHE[key], with_idx=True)
+
+
+class SyntheticShapes3DV2FullTrain(SyntheticShapes3DV2Full):
     pass
 
 

@@ -5,10 +5,11 @@ referenced by shipped EncDiff configs (SURVEY.md C16 "skip"), but the
 constructor surface is kept so foreign LDM configs instantiate:
 
 - ``ClassEmbedder``: class-id -> embedding (functional flax port).
-- ``TransformerEmbedder`` / ``BERTEmbedder``: lucidrains x_transformer-style
-  token encoder — here a compact flax pre-LN transformer stack with learned
-  positional embeddings (the only part of ``x_transformer.py:215-641``
-  those classes exercise).
+- ``TransformerEmbedder`` / ``BERTEmbedder``: lucidrains x_transformer
+  token encoder, backed by the complete flax port of the stack
+  (``encdiff_tpu/nn/x_transformer.py``: memory kv/tokens, talking heads,
+  sparse top-k, ScaleNorm/RMSNorm/ReZero, GRU-gated residuals, macaron /
+  sandwich / PAR layouts, shortformer position-infused attention).
 - ``SpatialRescaler``: interpolate + optional 1x1 channel map.
 - ``FrozenCLIPTextEmbedder`` / ``FrozenClipImageEmbedder``: require CLIP
   weights, unavailable in this image — constructors raise with a clear
@@ -43,26 +44,10 @@ class ClassEmbedder(nn.Module):
         return emb[:, None, :]
 
 
-class _TransformerLayer(nn.Module):
-    dim: int
-    heads: int
-    dtype: Dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x):
-        h = nn.LayerNorm(dtype=jnp.float32)(x).astype(x.dtype)
-        h = nn.SelfAttention(num_heads=self.heads, dtype=self.dtype,
-                             deterministic=True)(h)
-        x = x + h
-        h = nn.LayerNorm(dtype=jnp.float32)(x).astype(x.dtype)
-        h = TorchDense(self.dim * 4, dtype=self.dtype)(h)
-        h = jax.nn.gelu(h, approximate=False)
-        h = TorchDense(self.dim, dtype=self.dtype)(h)
-        return x + h
-
-
 class TransformerEmbedder(nn.Module):
-    """Token ids -> contextual embeddings (modules.py:36-50)."""
+    """Token ids -> contextual embeddings (modules.py:36-50): the full
+    x_transformer ``TransformerWrapper(Encoder(dim, depth))`` stack
+    (``encdiff_tpu/nn/x_transformer.py``), ``return_embeddings=True``."""
 
     n_embed: int
     n_layer: int
@@ -73,15 +58,13 @@ class TransformerEmbedder(nn.Module):
 
     @nn.compact
     def __call__(self, tokens):
-        b, n = tokens.shape
-        x = nn.Embed(self.vocab_size, self.n_embed, dtype=self.dtype)(tokens)
-        pos = self.param("pos_emb", nn.initializers.normal(0.02),
-                         (self.max_seq_len, self.n_embed))
-        x = x + pos[None, :n, :].astype(x.dtype)
-        for i in range(self.n_layer):
-            x = _TransformerLayer(self.n_embed, self.heads, dtype=self.dtype,
-                                  name=f"layer_{i}")(x)
-        return nn.LayerNorm(dtype=jnp.float32)(x).astype(x.dtype)
+        from encdiff_tpu.nn.x_transformer import TransformerWrapper
+
+        return TransformerWrapper(
+            num_tokens=self.vocab_size, max_seq_len=self.max_seq_len,
+            attn_layers_config={"dim": self.n_embed, "depth": self.n_layer,
+                                "heads": self.heads},
+            name="transformer")(tokens, return_embeddings=True)
 
     def encode(self, tokens):
         return self(tokens)

@@ -843,6 +843,15 @@ class Trainer:
 
 
 def main(argv=None):
+    # Persistent compilation cache: training programs recur across runs
+    # (MCL sweeps, control experiments, benchmark re-runs) and first
+    # compiles over the remote tunnel take minutes.
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_comp_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
     parser = get_parser()
     opt, unknown = parser.parse_known_args(argv)
     now = datetime.datetime.now().strftime("%Y-%m-%dT%H-%M-%S")

@@ -33,7 +33,12 @@ def main(argv=None):
                    help="trained EncDiff checkpoint to fine-tune from")
     p.add_argument("--vq_ckpt", default=None,
                    help="stage-1 VQ checkpoint (first_stage ckpt_path)")
-    p.add_argument("--mcl_type", default="infonce_mechgrad")
+    p.add_argument("--mcl_type", default="infonce_mechgrad",
+                   help="single loss type, or use --mcl_types for a matrix")
+    p.add_argument("--mcl_types", default=None,
+                   help="comma list of loss types: the full matrix sweep "
+                        "(reference: run_mcl_parallel_amd.sh fans "
+                        "5 types x lambda grid over 8 GPUs)")
     p.add_argument("--lambdas", default="0.01,0.05,0.1,0.5")
     p.add_argument("--base_lr", type=float, default=2e-7,
                    help="reference MCL fine-tune lr (run_mcl_parallel)")
@@ -51,10 +56,12 @@ def main(argv=None):
     lambdas = [float(x) for x in opt.lambdas.split(",")]
     if opt.only is not None:
         lambdas = [float(opt.only)]
+    types = ([t.strip() for t in opt.mcl_types.split(",")]
+             if opt.mcl_types else [opt.mcl_type])
 
     rows = []
-    for lam in lambdas:
-        tag = f"{opt.mcl_type}_lambda{lam:g}"
+    for mcl_type, lam in [(t, l) for t in types for l in lambdas]:
+        tag = f"{mcl_type}_lambda{lam:g}"
         print(f"=== MCL fine-tune {tag} ===", flush=True)
         argv_run = [
             "-b", opt.base, "-t", "true", "-l", opt.logdir, "-s",
@@ -63,7 +70,7 @@ def main(argv=None):
             "--check_val_every_n_epoch", "1",
             f"model.base_learning_rate={opt.base_lr}",
             "model.params.use_mcl=true",
-            f"model.params.mcl_type={opt.mcl_type}",
+            f"model.params.mcl_type={mcl_type}",
             f"model.params.lambda_mcl={lam}",
         ]
         if opt.vq_ckpt:
@@ -74,20 +81,27 @@ def main(argv=None):
         trainer = harness.main(["--no-test", "true"] + argv_run +
                                ["--resume_ckpt", opt.ckpt])
         results = trainer.last_val_metrics or {}
-        row = {"mcl_type": opt.mcl_type, "lambda": lam,
+        row = {"mcl_type": mcl_type, "lambda": lam,
                "epochs": opt.max_epochs, **results}
         rows.append(row)
         print(json.dumps(row, indent=2), flush=True)
+        _write_csv(opt.logdir, rows)  # incremental: survive mid-sweep kills
 
-    out = os.path.join(opt.logdir, "mcl_sweep.csv")
-    os.makedirs(opt.logdir, exist_ok=True)
+    _write_csv(opt.logdir, rows)
+    return rows
+
+
+def _write_csv(logdir, rows):
+    """One machine-readable row per completed run (VERDICT r2 weak #5:
+    sweep evidence as CSV, not prose)."""
+    out = os.path.join(logdir, "mcl_sweep.csv")
+    os.makedirs(logdir, exist_ok=True)
     keys = sorted({k for r in rows for k in r})
     with open(out, "w", newline="") as fh:
         w = csv.DictWriter(fh, fieldnames=keys)
         w.writeheader()
         w.writerows(rows)
     print(f"sweep table -> {out}")
-    return rows
 
 
 if __name__ == "__main__":

@@ -198,3 +198,70 @@ def test_noisy_latent_classifier_trains():
     assert set(accs) == set(range(0, ldm.num_timesteps, 50))
     for row in accs.values():
         assert 0.0 <= row["acc@1"] <= row["acc@5"] <= 1.0
+
+
+def test_x_transformer_feature_matrix():
+    """Feature combinations of the full x_transformer stack not covered by
+    the executed-torch parity test (macaron is unexecutable in the
+    reference — Scale tuple-unpacks the FF tensor, x_transformer.py:117-124
+    — plus scalenorm/rmsnorm/rezero/sandwich/custom layouts, post-norm,
+    residual attention, return_attn/return_mems)."""
+    import jax
+    import jax.numpy as jnp
+
+    from encdiff_tpu.nn.x_transformer import (AttentionLayers,
+                                              TransformerWrapper,
+                                              _resolve_layer_types)
+
+    # layout resolution
+    assert _resolve_layer_types(2, False, False, False, None, None,
+                                None) == ("a", "f", "a", "f")
+    assert _resolve_layer_types(2, True, False, False, None, None,
+                                None) == ("a", "c", "f", "a", "c", "f")
+    assert _resolve_layer_types(2, True, True, False, None, None,
+                                None) == ("c", "f", "c", "f")
+    assert _resolve_layer_types(2, False, False, True, None, None,
+                                None)[0] == "f"  # macaron prepends FF
+    sand = _resolve_layer_types(3, False, False, False, None, None, 1)
+    assert sand[0] == "a" and sand[-1] == "f"
+    assert _resolve_layer_types(2, False, False, False, ("a", "a", "f"),
+                                None, None) == ("a", "a", "f")
+
+    tokens = jnp.asarray(np.arange(22).reshape(2, 11) % 50)
+    for cfg, wcfg in [
+        (dict(dim=16, depth=2, heads=2, attn_dim_head=8, macaron=True), {}),
+        (dict(dim=16, depth=2, heads=2, attn_dim_head=8,
+              use_scalenorm=True), {}),
+        (dict(dim=16, depth=2, heads=2, attn_dim_head=8,
+              use_rmsnorm=True), {}),
+        (dict(dim=16, depth=2, heads=2, attn_dim_head=8,
+              use_rezero=True), {}),
+        (dict(dim=16, depth=2, heads=2, attn_dim_head=8, pre_norm=False,
+              residual_attn=True), {}),
+        (dict(dim=16, depth=2, heads=2, attn_dim_head=8, sandwich_coef=1),
+         dict(emb_dim=8)),  # exercises project_emb
+    ]:
+        model = TransformerWrapper(num_tokens=50, max_seq_len=16,
+                                   attn_layers_config=cfg, **wcfg)
+        variables = model.init(jax.random.PRNGKey(0), tokens)
+        out = model.apply(variables, tokens)
+        assert out.shape == (2, 11, 50) and bool(jnp.isfinite(out).all()), \
+            cfg
+
+    # rezero starts as identity-ish: attention contributes nothing at init
+    cfg = dict(dim=16, depth=1, heads=2, attn_dim_head=8, use_rezero=True)
+    model = TransformerWrapper(num_tokens=50, max_seq_len=16,
+                               attn_layers_config=cfg)
+    variables = model.init(jax.random.PRNGKey(0), tokens)
+    g = variables["params"]["attn_layers"]["rezero_g_0"]
+    assert float(jnp.abs(g).sum()) == 0.0
+
+    # return_attn / return_mems surfaces
+    cfg = dict(dim=16, depth=2, heads=2, attn_dim_head=8)
+    model = TransformerWrapper(num_tokens=50, max_seq_len=16,
+                               attn_layers_config=cfg)
+    variables = model.init(jax.random.PRNGKey(0), tokens)
+    out, maps = model.apply(variables, tokens, return_attn=True)
+    assert len(maps) == 2 and maps[0].shape == (2, 2, 11, 11)
+    out, mems = model.apply(variables, tokens, return_mems=True)
+    assert len(mems) == 2 and mems[0].shape[-1] == 16
