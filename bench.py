@@ -173,13 +173,16 @@ def main():
         args = (state.params["unet"], cond_vars,
                 frozen["first_stage"], sbatch, jax.random.PRNGKey(7))
         out = sample_jit(*args)
-        np.asarray(out)  # full host fetch: the remote-tunnel backend's
-        # block_until_ready returns before execution completes
+        # Host-fetch barrier on a data-DEPENDENT scalar, not the images:
+        # block_until_ready returns early on the tunnel backend, and at
+        # large sample batches fetching the full image tensor (25 MB at
+        # bs=2048) would time the HTTP pipe, not the chip.
+        float(jnp.mean(out))
         t0 = time.perf_counter()
         for i in range(SAMPLE_ITERS):
             out = sample_jit(args[0], args[1], args[2], sbatch,
                              jax.random.PRNGKey(11 + i))
-        np.asarray(out)
+        float(jnp.mean(out))
         ddt = time.perf_counter() - t0
         extra["ddim_steps"] = DDIM_STEPS
         extra["sample_batch"] = SAMPLE_BATCH

@@ -347,3 +347,23 @@ class SyntheticBandsFull(ArrayDataset):
 
 class SyntheticBandsFullTrain(SyntheticBandsFull):
     pass
+
+
+class SyntheticBands(ArrayDataset):
+    """27k-image bands control on the demo [6,6,6,4,4,8] grid (pairs with
+    ``eval_name: synthetic_shapes``) — the matched-scale counterpart of the
+    round-1 v1-renderer cell (DCI 0.863 at 100 epochs) for fast
+    renderer-vs-model controls when the full grid is impractical."""
+
+    factor_sizes = FACTOR_SIZES
+
+    def __init__(self, image_size: int = 64, **kwargs):
+        del kwargs
+        key = ("bands", image_size, tuple(self.factor_sizes))
+        if key not in _CACHE:
+            _CACHE[key] = render_bands(image_size, self.factor_sizes)
+        super().__init__(_CACHE[key], with_idx=True)
+
+
+class SyntheticBandsTrain(SyntheticBands):
+    pass

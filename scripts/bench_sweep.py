@@ -40,7 +40,7 @@ def main(argv=None):
     p.add_argument("--out", default="demo_artifacts/round3/bench_sweep.csv")
     p.add_argument("--train_batches", default="128,256,512")
     p.add_argument("--dtypes", default="bfloat16")
-    p.add_argument("--ddim", default="200:128,200:512,50:512",
+    p.add_argument("--ddim", default="200:128,200:512,200:2048,50:512",
                    help="comma list of steps:sample_batch pairs")
     p.add_argument("--iters", type=int, default=20)
     opt = p.parse_args(argv)

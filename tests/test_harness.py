@@ -5,6 +5,7 @@ on the 8-device CPU mesh, with callbacks, checkpoint save, and logdir layout
 import os
 
 import numpy as np
+import pytest
 import yaml
 
 
@@ -73,6 +74,7 @@ def _tiny_cfg(tmp_path):
     return path
 
 
+@pytest.mark.slow
 def test_harness_end_to_end(tmp_path):
     from encdiff_tpu.train import harness
 
@@ -148,6 +150,7 @@ def _tiny_vq_cfg(tmp_path):
     return path
 
 
+@pytest.mark.slow
 def test_harness_vq_gan_end_to_end(tmp_path):
     """Autoencoder config -> VQ-GAN two-optimizer loop via the same CLI
     (reference `main.py --base configs/autoencoder/... -t`, SURVEY.md 3.4)."""

@@ -38,6 +38,7 @@ def test_torch_conv_shapes():
     assert y2.shape == (2, 32, 32, 8)
 
 
+@pytest.mark.slow
 def test_unet_forward_shapes():
     from encdiff_tpu.nn.unet import UNetModel
 
@@ -156,6 +157,7 @@ def test_vector_quantizer_straight_through():
         atol=1e-6)  # straight-through reassociation costs one f32 ulp of |z|
 
 
+@pytest.mark.slow
 def test_noisy_latent_classifier_trains():
     """C19 NoisyLatentImageClassifier: head-only AdamW steps reduce CE on a
     fixed batch; top-k + noise-level accuracy sweep run (classifier.py

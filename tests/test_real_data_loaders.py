@@ -85,6 +85,7 @@ def test_mpi3d_npz(root):
     _check_dataset(MPI3DTrain(), 18)
 
 
+@pytest.mark.slow
 def test_cars3d_mat(root):
     """Real scipy.io .mat parsing: 'im' tensor (128,128,3,24,4) per mesh
     (disdata.py:363-395); frames land at the disentanglement_lib factor

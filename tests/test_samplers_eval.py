@@ -139,6 +139,7 @@ def test_fid_statistics_and_distance():
     assert d_diff > 10.0
 
 
+@pytest.mark.slow
 def test_log_images_battery():
     """log_images on a tiny model: all requested keys present, finite."""
     import sys

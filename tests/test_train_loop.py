@@ -29,6 +29,7 @@ def trained_bits():
     return model, optimizer, state, frozen
 
 
+@pytest.mark.slow
 def test_single_device_train_step(trained_bits):
     import jax
 
@@ -54,6 +55,7 @@ def test_single_device_train_step(trained_bits):
     assert max(du) >= 0.0
 
 
+@pytest.mark.slow
 def test_multichip_matches_single_chip(trained_bits):
     """DP over 8 virtual devices must reproduce the single-device loss for
     the same global batch (the reference's DDP-equivalence check)."""
@@ -117,6 +119,7 @@ def test_epoch_loader_and_datamodule():
     assert -1.0 <= item["image"].min() and item["image"].max() <= 1.0
 
 
+@pytest.mark.slow
 def test_mcl_train_step():
     """MCL fine-tune path: higher-order grads through the frozen decoder
     inside one jitted step (run_mcl parity — SURVEY.md 3.5); MCL params get
@@ -158,6 +161,7 @@ def test_mcl_train_step():
     assert dm > 0
 
 
+@pytest.mark.slow
 def test_split_mcl_step_matches_fused():
     """build_split_mcl_train_step (three-program remote-compile-safe mode)
     must reproduce the fused step's updated params and losses: the losses
@@ -206,6 +210,7 @@ def test_split_mcl_step_matches_fused():
     assert np.isfinite(float(ms["grad_norm_mcl"]))
 
 
+@pytest.mark.slow
 def test_indexed_train_step_matches_batch_step(trained_bits):
     """Device-resident-data step must produce the same loss as the
     host-batch step for identical data."""
@@ -231,6 +236,7 @@ def test_indexed_train_step_matches_batch_step(trained_bits):
                                float(m2["train/loss"]), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_remat_flag_changes_nothing_numerically():
     """use_checkpoint (remat) must leave the loss/gradients unchanged."""
     import sys
@@ -284,6 +290,7 @@ def test_encode_sweep_matches_per_batch_encode(trained_bits):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_epoch_vq_step_matches_streaming_step():
     """Device-resident VQ step (images+perm slicing) must reproduce the
     streaming step's metrics for the same batch."""
@@ -324,6 +331,7 @@ def test_epoch_vq_step_matches_streaming_step():
                                    err_msg=k)
 
 
+@pytest.mark.slow
 def test_split_mcl_epoch_step_matches_streaming_split():
     """Device-resident split-MCL (gather program + 3 step programs) must
     reproduce the streaming split step for the same gathered batch + rng
@@ -375,6 +383,7 @@ def test_split_mcl_epoch_step_matches_streaming_split():
     assert max(diffs) < 1e-6
 
 
+@pytest.mark.slow
 def test_dp_tp_mesh_matches_single_chip(trained_bits):
     """4x2 dp x tp mesh (Megatron attention sharding, parallel/tp.py) must
     reproduce the single-device loss — the sharding rules are pure layout."""

@@ -67,6 +67,7 @@ def test_vq_eval_step(vq_bits):
     assert np.isfinite(float(log["val/disc_loss"]))
 
 
+@pytest.mark.slow
 def test_vq_gan_step_with_perceptual():
     """perceptual_weight>0 path (vqperceptual.py:59 + shapes3d_vq_4_16.yaml
     taming default): LPIPS in calibrated random-features mode contributes a

@@ -285,6 +285,7 @@ class _TorchFIDInception(torch.nn.Module):
         return x.mean(dim=(2, 3))
 
 
+@pytest.mark.slow
 def test_fid_inception_torch_parity():
     from encdiff_tpu.evalx.fid import InceptionV3FID, load_torch_fid_inception
 
