@@ -843,6 +843,14 @@ class Trainer:
 
 
 def main(argv=None):
+    # Multi-host: if a coordinator is configured (ENCDIFF_COORDINATOR /
+    # JAX_COORDINATOR_ADDRESS env), join the global mesh BEFORE the first
+    # backend touch; jax.devices() then spans all processes and the GSPMD
+    # train step needs no further changes (encdiff_tpu/parallel/multihost).
+    from encdiff_tpu.parallel import multihost
+
+    multihost.maybe_initialize_distributed()
+
     # Persistent compilation cache: training programs recur across runs
     # (MCL sweeps, control experiments, benchmark re-runs) and first
     # compiles over the remote tunnel take minutes.

@@ -70,11 +70,15 @@ def main(argv=None):
             emit("train", {"batch": bs, "dtype": dtype}, run_bench(cfg))
 
     for pair in opt.ddim.split(","):
-        steps, sbatch = (int(x) for x in pair.split(":"))
+        parts = pair.split(":")
+        steps, sbatch = int(parts[0]), int(parts[1])
+        pallas = parts[2] if len(parts) > 2 else None
         cfg = {"BENCH_TRAIN": 0, "BENCH_DDIM_STEPS": steps,
                "BENCH_SAMPLE_BATCH": sbatch, "BENCH_BATCH": 128}
-        emit("ddim", {"ddim_steps": steps, "sample_batch": sbatch},
-             run_bench(cfg))
+        if pallas:
+            cfg["ENCDIFF_PALLAS"] = pallas
+        emit("ddim", {"ddim_steps": steps, "sample_batch": sbatch,
+                      "pallas": pallas or ""}, run_bench(cfg))
 
     print(f"sweep -> {opt.out} ({len(rows)} rows)")
 

@@ -249,3 +249,86 @@ def test_sd_pair_datasets(root):
     item = ds[1]
     assert np.asarray(item["image"]).shape == (64, 64, 3)
     assert np.asarray(item["image_512"]).shape == (128, 128, 3)
+
+
+def test_synthetic_renderers_factor_layout():
+    """Index layout (dot(factors, bases)) and factor-pixel structure of the
+    three procedural renderers: bands are strictly disjoint per factor; v2
+    keeps the object centered (orientation moves the wall corner / rotates
+    in place, never translates the object); index order is row-major over
+    (floor, wall, obj, scale, shape, orient)."""
+    import numpy as np
+
+    from encdiff_tpu.data.synthetic_shapes import (render_all, render_all_v2,
+                                                   render_bands)
+
+    fs = [3, 3, 3, 2, 2, 4]
+    bases = np.concatenate([np.cumprod(fs[::-1])[::-1][1:], [1]])
+    size = 64
+    bounds = [round(size * i / 6) for i in range(7)]
+
+    bands = render_bands(size, fs)
+    for i in range(6):
+        a, b = bands[0], bands[int(bases[i])]
+        rows = np.where((a != b).any(axis=(1, 2)))[0]
+        assert rows.size, f"factor {i} invisible"
+        assert rows.min() >= bounds[i] and rows.max() < bounds[i + 1], \
+            f"factor {i} leaks outside its band"
+
+    v2 = render_all_v2(size, factor_sizes=fs)
+    v1 = render_all(size, factor_sizes=fs)
+    assert v2.shape == v1.shape == (int(np.prod(fs)), size, size, 3)
+
+    # v2: floor hue changes only below the horizon; wall hue only above it
+    hy = int(size * 0.55)
+    d_floor = np.where((v2[0] != v2[int(bases[0])]).any(axis=(1, 2)))[0]
+    assert d_floor.min() >= hy
+    d_wall = np.where((v2[0] != v2[int(bases[1])]).any(axis=(1, 2)))[0]
+    assert d_wall.max() < hy
+
+    # v2 orientation: object stays centered — the object-hue-sensitive
+    # pixel set (object silhouette) has the same center of mass across
+    # orientations
+    def obj_mask(base_idx):
+        return (v2[base_idx] != v2[base_idx + int(bases[2])]).any(axis=2)
+
+    c0 = np.argwhere(obj_mask(0)).mean(axis=0)
+    c1 = np.argwhere(obj_mask(int(bases[5]) * 2)).mean(axis=0)
+    assert abs(c0[1] - c1[1]) < 2.0, (c0, c1)  # horizontal center fixed
+
+    # v1 for contrast: orientation translates the object
+    def obj_mask_v1(base_idx):
+        return (v1[base_idx] != v1[base_idx + int(bases[2])]).any(axis=2)
+
+    c0 = np.argwhere(obj_mask_v1(0)).mean(axis=0)
+    c1 = np.argwhere(obj_mask_v1(int(bases[5]) * 3)).mean(axis=0)
+    assert abs(c0[1] - c1[1]) > 4.0, (c0, c1)
+
+
+def test_synthetic_faces_attributes_and_layout():
+    """Face grid: attribute derivation is consistent with the factor
+    layout, and the eval-npz writer produces the celeba_tad input format."""
+    import numpy as np
+
+    from encdiff_tpu.data import synthetic_faces as sf
+
+    f = sf.face_factors()
+    assert f.shape == (sf.N_FACES, 7)
+    # index round-trip
+    fs = sf.FACE_FACTOR_SIZES
+    bases = np.concatenate([np.cumprod(fs[::-1])[::-1][1:], [1]])
+    assert (f @ bases == np.arange(sf.N_FACES)).all()
+
+    a = sf.face_attributes()
+    assert a.shape == (sf.N_FACES, len(sf.FACE_ATTR_NAMES))
+    # hair-color attrs are mutually exclusive and exhaustive
+    assert (a[:, :6].sum(1) == 1).all()
+    # Smiling == smile factor at max
+    assert (a[:, sf.FACE_ATTR_NAMES.index("Smiling")] ==
+            (f[:, 5] == 2)).all()
+
+    imgs = sf.render_faces(64, [2, 2, 2, 2, 1, 1, 1])
+    assert imgs.shape == (16, 64, 64, 3) and imgs.dtype == np.uint8
+    # hair color visibly changes pixels on long-hair rows
+    long_hair = 1 * 1 * 1  # hair_length=1 block offset within geo
+    assert (imgs[0 + long_hair] != imgs[4 + long_hair]).any()
