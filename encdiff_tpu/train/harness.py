@@ -28,6 +28,32 @@ from typing import Any
 import numpy as np
 
 
+#: process-level cache of device-resident datasets. Sequential runs inside
+#: one process (MCL matrix sweeps: scripts/run_mcl_sweep.py re-enters
+#: harness.main per (type, lambda) cell) reuse the uploaded array instead of
+#: re-pushing ~5.6 GB through the tunnel per run (~10 min each).
+_DEVICE_IMAGE_CACHE: dict = {}
+
+
+def device_cached_images(images_host, sharding):
+    """flatten_for_device + device_put, cached per (array identity, shape)."""
+    import jax
+
+    from encdiff_tpu.train import loop as train_loop
+
+    key = (id(images_host), images_host.shape, str(sharding))
+    hit = _DEVICE_IMAGE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    import jax.numpy as jnp
+
+    dev = jax.device_put(
+        jnp.asarray(train_loop.flatten_for_device(images_host)), sharding)
+    _DEVICE_IMAGE_CACHE.clear()  # hold at most one dataset in HBM
+    _DEVICE_IMAGE_CACHE[key] = dev
+    return dev
+
+
 def get_parser(**parser_kwargs):
     """Argparse surface parity with main_val.py:99-211."""
 
@@ -322,11 +348,7 @@ class Trainer:
                      and jax.default_backend() == "axon")))
         if use_split_mcl:
             if use_dev_data:
-                import jax.numpy as jnp
-
-                images_dev = jax.device_put(
-                    jnp.asarray(train_loop.flatten_for_device(images_host)),
-                    repl)
+                images_dev = device_cached_images(images_host, repl)
                 steps_per_epoch = (len(self.data._raw("train"))
                                    // self.batch_size)
                 self._images_dev = images_dev
@@ -344,11 +366,7 @@ class Trainer:
         elif use_dev_data:
             # whole dataset + epoch permutation resident in HBM; one
             # dispatch per step, rng folded in on device
-            import jax.numpy as jnp
-
-            images_dev = jax.device_put(
-                jnp.asarray(train_loop.flatten_for_device(images_host)),
-                repl)
+            images_dev = device_cached_images(images_host, repl)
             steps_per_epoch = len(self.data._raw("train")) // self.batch_size
             self._images_dev = images_dev
             step_fn = train_loop.build_epoch_train_step(
@@ -493,11 +511,7 @@ class Trainer:
         use_dev_data = (self.device_data and images_host is not None
                         and images_host.nbytes < 8e9)
         if use_dev_data:
-            import jax.numpy as jnp
-
-            images_dev = jax.device_put(
-                jnp.asarray(train_loop.flatten_for_device(images_host)),
-                repl)
+            images_dev = device_cached_images(images_host, repl)
             steps_per_epoch = len(train_ds) // self.batch_size
             step_fn = vq_trainer.build_epoch_vq_train_step(
                 model, loss_obj, gen_tx, disc_tx, steps_per_epoch,
