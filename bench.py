@@ -188,9 +188,32 @@ def main():
         extra["sample_batch"] = SAMPLE_BATCH
         extra["ddim200_samples_per_s"] = round(
             SAMPLE_ITERS * SAMPLE_BATCH / ddt, 1)
+        # XLA cost_analysis counts a lax.scan body ONCE, not x trip-count
+        # (verified: scan of 100 matmuls reports one matmul's flops), so the
+        # lowered sample_fn's "flops" misses (steps-1) UNet calls. Round 2
+        # published ddim_mfu=0.0014 off the raw number — ~200x low. Correct
+        # by adding (steps-1) x the flops of a single denoise call (the scan
+        # body is one UNet apply + O(B*H*W*C) elementwise DDIM algebra).
         sample_flops = _flops_of(sample_jit.lower(*args).compile())
-        if sample_flops > 0:
-            stflops = sample_flops * SAMPLE_ITERS / ddt / 1e12
+        tok = model.cond_warp(cond_vars, model.cond_encoding(cond_vars,
+                                                             sbatch))
+        if tok.ndim == 3:
+            tok = tok.reshape(tok.shape[0], -1)
+        unet_flops = _flops_of(
+            jax.jit(lambda p, x, t, tk: model.apply_model(
+                {"params": p}, x, t, tk))
+            .lower(state.params["unet"],
+                   jax.ShapeDtypeStruct((SAMPLE_BATCH, model.image_size,
+                                         model.image_size, model.channels),
+                                        jnp.float32),
+                   jax.ShapeDtypeStruct((SAMPLE_BATCH,), jnp.int32),
+                   jax.ShapeDtypeStruct(tok.shape, jnp.float32))
+            .compile())
+        if sample_flops > 0 and unet_flops > 0:
+            total = sample_flops + (DDIM_STEPS - 1) * unet_flops
+            stflops = total * SAMPLE_ITERS / ddt / 1e12
+            extra["unet_fwd_gflops_per_image"] = round(
+                unet_flops / SAMPLE_BATCH / 1e9, 3)
             extra["ddim_tflops_per_s"] = round(stflops, 2)
             extra["ddim_mfu"] = round(stflops / PEAK_TFLOPS, 4)
 

@@ -1,0 +1,83 @@
+#!/bin/bash
+# Round-3 chip pipeline: serial TPU jobs chained so they survive session
+# restarts (launch once with nohup/setsid; stage markers make re-runs
+# idempotent).  Order = VERDICT r2 "next round" value order:
+#   1. v2-renderer 480k run (VQ + EncDiff)     -> DCI-parity benchmark
+#   2. MCL matrix 5 types x {0.01,0.05}        -> 10-row mcl_sweep.csv
+#   3. CelebA-scale faces run (flash attn ON)  -> first FID/TAD numbers
+#   4. MFU / DDIM throughput sweep             -> BENCH_NOTES tables
+# The chip serializes everything; one stage at a time.
+set -u
+cd /root/repo
+# If a bench verify is still on the chip, wait for it (chip must be serial).
+if [ -f /tmp/bench.pid ] && kill -0 "$(cat /tmp/bench.pid)" 2>/dev/null; then
+  echo "[pipeline] waiting for bench pid $(cat /tmp/bench.pid)"
+  while kill -0 "$(cat /tmp/bench.pid)" 2>/dev/null; do sleep 10; done
+fi
+MARK=runs_r3/markers
+LOGS=runs_r3/logs
+mkdir -p "$MARK" "$LOGS" demo_artifacts/round3
+
+stage() {  # stage <name> <cmd...>: skip if marker exists, mark on success
+  local name=$1; shift
+  if [ -f "$MARK/$name.done" ]; then echo "[pipeline] $name: done, skip"; return 0; fi
+  echo "[pipeline] $name: start $(date -u +%H:%M:%S)"
+  "$@" >"$LOGS/$name.log" 2>&1
+  local rc=$?
+  if [ $rc -eq 0 ]; then touch "$MARK/$name.done"; echo "[pipeline] $name: OK";
+  else echo "[pipeline] $name: FAILED rc=$rc (log: $LOGS/$name.log)"; fi
+  return $rc
+}
+
+# ---- stage 1a: v2 VQ first stage (2 epochs, 480k v2 grid) ----------------
+stage v2_vq python main_val.py -b configs/demo/synthetic-shapes-v2-full-vq.yaml \
+  -t true --no-test true -l runs_full -s 23 -n v2
+
+V2VQ=$(ls -td runs_full/*v2*vq*/ 2>/dev/null | head -1 | sed 's:/$::')
+echo "[pipeline] v2 VQ run: $V2VQ"
+
+# ---- stage 1b: v2 EncDiff (16 epochs, val every 2) -----------------------
+if [ -n "$V2VQ" ] && [ -d "$V2VQ/checkpoints/last" ]; then
+  stage v2_encdiff python main_val.py -b configs/demo/synthetic-shapes-v2-full-encdiff.yaml \
+    -t true -l runs_full -s 23 -n v2 \
+    "model.params.first_stage_config.params.ckpt_path=$V2VQ/checkpoints/last"
+else
+  echo "[pipeline] v2_encdiff: SKIP (no VQ checkpoint)"
+fi
+
+V2LDM=$(ls -td runs_full/*v2*encdiff*/ 2>/dev/null | head -1 | sed 's:/$::')
+echo "[pipeline] v2 LDM run: $V2LDM"
+
+# ---- stage 2: MCL matrix (5 loss types x 2 lambdas, 1 epoch each) --------
+if [ -n "$V2LDM" ] && [ -d "$V2LDM/checkpoints" ]; then
+  BEST=$(ls -d "$V2LDM"/checkpoints/best_dci_* 2>/dev/null | sort | tail -1)
+  [ -z "$BEST" ] && BEST="$V2LDM/checkpoints/last"
+  stage mcl_matrix python scripts/run_mcl_sweep.py \
+    --base configs/demo/synthetic-shapes-v2-full-encdiff.yaml \
+    --ckpt "$BEST" --vq_ckpt "$V2VQ/checkpoints/last" \
+    --mcl_types nce_logistic,infonce_mechgrad,fisher_sm,denoise_sm,jacobian_vjp_infonce \
+    --lambdas 0.01,0.05 --max_epochs 1 -l runs_mcl_v2
+  cp runs_mcl_v2/mcl_sweep.csv demo_artifacts/round3/mcl_sweep.csv 2>/dev/null
+else
+  echo "[pipeline] mcl_matrix: SKIP (no v2 LDM checkpoint)"
+fi
+
+# ---- stage 3: CelebA-scale faces (256px, 4096-token flash attention) -----
+stage faces_vq python main_val.py -b configs/demo/synthetic-faces-vq.yaml \
+  -t true --no-test true -l runs_faces -s 23
+
+FVQ=$(ls -td runs_faces/*vq*/ 2>/dev/null | head -1 | sed 's:/$::')
+if [ -n "$FVQ" ] && [ -d "$FVQ/checkpoints/last" ]; then
+  stage faces_encdiff python main_val.py -b configs/demo/synthetic-faces-encdiff.yaml \
+    -t true -l runs_faces -s 23 \
+    "model.params.first_stage_config.params.ckpt_path=$FVQ/checkpoints/last"
+else
+  echo "[pipeline] faces_encdiff: SKIP (no faces VQ checkpoint)"
+fi
+
+# ---- stage 4: MFU / DDIM sweep (chip must be idle -> last) ---------------
+stage bench_sweep python scripts/bench_sweep.py \
+  --out demo_artifacts/round3/bench_sweep.csv \
+  --train_batches 128,256,512 --ddim "200:128,200:512,50:512,50:1024"
+
+echo "[pipeline] all stages attempted $(date -u +%H:%M:%S)"

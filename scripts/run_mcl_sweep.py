@@ -78,11 +78,18 @@ def main(argv=None):
                             f"ckpt_path={opt.vq_ckpt}")
         if opt.val_batches:
             argv_run += ["--val_batches", str(opt.val_batches)]
-        trainer = harness.main(["--no-test", "true"] + argv_run +
-                               ["--resume_ckpt", opt.ckpt])
-        results = trainer.last_val_metrics or {}
-        row = {"mcl_type": mcl_type, "lambda": lam,
-               "epochs": opt.max_epochs, **results}
+        try:
+            trainer = harness.main(["--no-test", "true"] + argv_run +
+                                   ["--resume_ckpt", opt.ckpt])
+            results = trainer.last_val_metrics or {}
+            row = {"mcl_type": mcl_type, "lambda": lam,
+                   "epochs": opt.max_epochs, **results}
+        except Exception as exc:  # one failed cell must not kill the matrix
+            import traceback
+            traceback.print_exc()
+            row = {"mcl_type": mcl_type, "lambda": lam,
+                   "epochs": opt.max_epochs,
+                   "error": f"{type(exc).__name__}: {exc}"[:200]}
         rows.append(row)
         print(json.dumps(row, indent=2), flush=True)
         _write_csv(opt.logdir, rows)  # incremental: survive mid-sweep kills
