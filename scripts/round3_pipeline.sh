@@ -9,11 +9,14 @@
 # The chip serializes everything; one stage at a time.
 set -u
 cd /root/repo
-# If a bench verify is still on the chip, wait for it (chip must be serial).
-if [ -f /tmp/bench.pid ] && kill -0 "$(cat /tmp/bench.pid)" 2>/dev/null; then
-  echo "[pipeline] waiting for bench pid $(cat /tmp/bench.pid)"
-  while kill -0 "$(cat /tmp/bench.pid)" 2>/dev/null; do sleep 10; done
-fi
+# The chip serializes everything: if a bench or a previously-launched
+# training job is still on it, wait (pattern match is for WAITING only —
+# never kill by pattern).
+wait_chip_idle() {
+  while ps -eo pid,args | grep -E "python (main_val\.py|bench\.py)" \
+        | grep -v grep >/dev/null; do sleep 15; done
+}
+wait_chip_idle
 MARK=runs_r3/markers
 LOGS=runs_r3/logs
 mkdir -p "$MARK" "$LOGS" demo_artifacts/round3
@@ -30,22 +33,28 @@ stage() {  # stage <name> <cmd...>: skip if marker exists, mark on success
 }
 
 # ---- stage 1a: v2 VQ first stage (2 epochs, 480k v2 grid) ----------------
+# Adopt a VQ run completed outside this controller (first launch used -n v2
+# -> dir "<ts>_v2"): mark done if its checkpoint exists.
+PREV=$(ls -td runs_full/*_v2 runs_full/*v2vq* 2>/dev/null | head -1)
+if [ -n "$PREV" ] && [ -d "$PREV/checkpoints/last" ]; then
+  touch "$MARK/v2_vq.done"
+fi
 stage v2_vq python main_val.py -b configs/demo/synthetic-shapes-v2-full-vq.yaml \
-  -t true --no-test true -l runs_full -s 23 -n v2
+  -t true --no-test true -l runs_full -s 23 -n v2vq
 
-V2VQ=$(ls -td runs_full/*v2*vq*/ 2>/dev/null | head -1 | sed 's:/$::')
+V2VQ=$(ls -td runs_full/*_v2 runs_full/*v2vq* 2>/dev/null | head -1)
 echo "[pipeline] v2 VQ run: $V2VQ"
 
 # ---- stage 1b: v2 EncDiff (16 epochs, val every 2) -----------------------
 if [ -n "$V2VQ" ] && [ -d "$V2VQ/checkpoints/last" ]; then
   stage v2_encdiff python main_val.py -b configs/demo/synthetic-shapes-v2-full-encdiff.yaml \
-    -t true -l runs_full -s 23 -n v2 \
+    -t true -l runs_full -s 23 -n v2ld \
     "model.params.first_stage_config.params.ckpt_path=$V2VQ/checkpoints/last"
 else
   echo "[pipeline] v2_encdiff: SKIP (no VQ checkpoint)"
 fi
 
-V2LDM=$(ls -td runs_full/*v2*encdiff*/ 2>/dev/null | head -1 | sed 's:/$::')
+V2LDM=$(ls -td runs_full/*v2ld*/ 2>/dev/null | head -1 | sed 's:/$::')
 echo "[pipeline] v2 LDM run: $V2LDM"
 
 # ---- stage 2: MCL matrix (5 loss types x 2 lambdas, 1 epoch each) --------
