@@ -56,6 +56,9 @@ FULL = os.environ.get("BENCH_FULL", "1") == "1"
 DO_DDIM = FULL and os.environ.get("BENCH_DDIM", "1") == "1"
 DO_TRAIN = os.environ.get("BENCH_TRAIN", "1") == "1"
 SAMPLE_BATCH = int(os.environ.get("BENCH_SAMPLE_BATCH", str(BATCH)))
+# K-step fusion mode for the train section: "scan:8" (lax.scan over K index
+# rows) or "unroll:4" (K steps unrolled in one jit). Empty = single-step.
+FUSE = os.environ.get("BENCH_FUSE", "")
 
 # Peak dense matmul throughput per chip for MFU. v5e: 197 TFLOP/s bf16,
 # 98.5 fp32 (public spec). Overridable for other chip generations.
@@ -86,7 +89,6 @@ def main():
     optimizer = train_loop.build_optimizer(model, learning_rate=1e-4)
     state, frozen = train_loop.create_train_state(
         model, jax.random.PRNGKey(0), optimizer, image_resolution=64)
-    step_fn = train_loop.build_train_step(model, optimizer, donate=True)
 
     batch = jnp.asarray(
         np.random.RandomState(0)
@@ -94,16 +96,41 @@ def main():
         .astype(np.float32))
     rngs = [jax.random.PRNGKey(i) for i in range(WARMUP + ITERS)]
 
+    # Optional K-step fusion: one dispatch advances K steps. The fused
+    # builders take (state, frozen, images, idx_matrix, rng); feeding the
+    # bench batch as "images" with identity index rows reuses its pixels
+    # while keeping shapes/work identical to real training.
+    fuse_k = 1
+    if FUSE:
+        mode, _, kstr = FUSE.partition(":")
+        fuse_k = max(1, int(kstr or "4"))
+        builder = (train_loop.build_scan_train_step if mode == "scan"
+                   else train_loop.build_unrolled_train_step)
+        kstep_fn = builder(model, optimizer, k=fuse_k, donate=True)
+        idx_matrix = jnp.tile(jnp.arange(BATCH, dtype=jnp.int32), (fuse_k, 1))
+
+        def step_fn(state, frozen, batch, rng, _f=kstep_fn, _i=idx_matrix):
+            return _f(state, frozen, batch, _i, rng)
+
+        spec_args = (state, frozen, batch, idx_matrix, rngs[0])
+        flops_fn = kstep_fn
+    else:
+        step_fn = train_loop.build_train_step(model, optimizer, donate=True)
+        spec_args = (state, frozen, batch, rngs[0])
+        flops_fn = step_fn
+
     # Arg specs for the post-timing cost analysis (donation invalidates the
     # concrete state, and compiling anything extra BEFORE the timed loop is
     # forbidden: on the remote-compile tunnel, .compile() returns before the
     # backend finishes, and the timed steps queue behind the stray compile).
     specs = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
-        (state, frozen, batch, rngs[0]))
+        spec_args)
 
     steps_per_s = 0.0
     extra = {"batch": BATCH, "dtype": DTYPE}
+    if FUSE:
+        extra["fuse"] = FUSE
     if DO_TRAIN:
         for i in range(WARMUP):
             state, metrics = step_fn(state, frozen, batch, rngs[i])
@@ -114,22 +141,25 @@ def main():
         # best of 3 windows: the shared tunnel chip shows large run-to-run
         # variance (16.5 vs 25.2 steps/s for identical code); the max window
         # is the least-interfered measurement
+        calls = max(1, ITERS // fuse_k)
         window_rates = []
         for w in range(3):
             t0 = time.perf_counter()
-            for i in range(ITERS):
+            for i in range(calls):
                 state, metrics = step_fn(
                     state, frozen, batch,
-                    jax.random.fold_in(rngs[WARMUP], w * ITERS + i))
+                    jax.random.fold_in(rngs[WARMUP], w * calls + i))
             jax.device_get(metrics)
-            window_rates.append(ITERS / (time.perf_counter() - t0))
+            window_rates.append(
+                calls * fuse_k / (time.perf_counter() - t0))
 
         train_flops = 0.0
         if FULL:
             try:
+                # flops of one dispatch = fuse_k steps; normalize per step
                 train_flops = _flops_of(
-                    jax.jit(step_fn, donate_argnums=())
-                    .lower(*specs).compile())
+                    jax.jit(flops_fn, donate_argnums=())
+                    .lower(*specs).compile()) / fuse_k
             except Exception:
                 train_flops = 0.0
 

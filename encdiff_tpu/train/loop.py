@@ -480,6 +480,62 @@ def build_scan_train_step(model, optimizer, k: int = 4, mesh=None,
                    donate_argnums=(0,) if donate else ())
 
 
+def build_unrolled_train_step(model, optimizer, k: int = 4, mesh=None,
+                              ema_decay: float = 0.9999, donate: bool = True):
+    """K training steps per dispatch with the loop UNROLLED inside one jit.
+
+    Same signature as ``build_scan_train_step``:
+    ``step(state, frozen, images, idx_matrix, rng) -> (state, metrics)``
+    with ``idx_matrix`` of shape (K, B) and device-resident ``images``;
+    ``metrics`` is the last sub-step's loss dict.
+
+    Unlike the scan variant, XLA sees straight-line code, so the param/Adam
+    state threads through in place instead of the while-loop's
+    double-buffered carry (the measured cost of ``build_scan_train_step``'s
+    23.9 steps/s). The price is an HLO ~k`x` the single step — keep k small
+    on remote-compile tunnels (~8 MB proto cap, BENCH_NOTES.md).
+    """
+
+    def train_k_steps(state: TrainState, frozen, images, idx_matrix, rng):
+        metrics = None
+        for j in range(k):
+            batch = gather_images(images, idx_matrix[j])
+            srng = jax.random.fold_in(rng, j)
+            if model.scale_by_std:
+                sf = jax.lax.cond(
+                    state.step == 0,
+                    lambda b=batch: model.compute_scale_factor(frozen, b),
+                    lambda: state.scale_factor)
+            else:
+                sf = state.scale_factor
+            frozen_in = {"first_stage": frozen["first_stage"],
+                         "cond_batch_stats": state.batch_stats}
+            grad_fn = jax.value_and_grad(
+                lambda p, b=batch, r=srng, s=sf: model.loss_fn(
+                    p, frozen_in, b, r, s, train=True), has_aux=True)
+            (loss, (loss_dict, new_stats)), grads = grad_fn(state.params)
+            updates, opt_state = optimizer.update(grads, state.opt_state,
+                                                  state.params)
+            params = optax.apply_updates(state.params, updates)
+            ema = state.ema
+            if ema is not None:
+                ema = ema_lib.update(ema, params["unet"], decay=ema_decay)
+            state = TrainState(
+                step=state.step + 1, params=params, batch_stats=new_stats,
+                opt_state=opt_state, ema=ema, scale_factor=sf)
+            metrics = loss_dict
+        return state, metrics
+
+    if mesh is None:
+        return jax.jit(train_k_steps, donate_argnums=(0,) if donate else ())
+    repl = replicated(mesh)
+    bsh = NamedSharding(mesh, jax.sharding.PartitionSpec(None, "data"))
+    return jax.jit(train_k_steps,
+                   in_shardings=(repl, repl, repl, bsh, repl),
+                   out_shardings=(repl, repl),
+                   donate_argnums=(0,) if donate else ())
+
+
 def build_eval_step(model, mesh=None):
     """validation_step equivalent (``ddpm_enc.py:378-390``): returns the val
     loss dict plus the (B, latent_unit) raw scalars used by the

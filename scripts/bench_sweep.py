@@ -43,6 +43,12 @@ def main(argv=None):
     p.add_argument("--ddim", default="200:128,200:512,200:2048,50:512",
                    help="comma list of steps:sample_batch pairs")
     p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--fused", default="scan:4,scan:8",
+                   help="K-step fusion variants (BENCH_FUSE) measured at the "
+                        "first train batch; '' disables. unroll:K multiplies "
+                        "the HLO proto ~K x — the flagship step is 7.6 MB and "
+                        "the remote-compile tunnel caps at ~8 MB, so unroll "
+                        "variants only work on directly-attached hosts")
     opt = p.parse_args(argv)
 
     rows = []
@@ -68,6 +74,14 @@ def main(argv=None):
             cfg = {"BENCH_BATCH": bs, "BENCH_DTYPE": dtype,
                    "BENCH_DDIM": 0, "BENCH_ITERS": opt.iters}
             emit("train", {"batch": bs, "dtype": dtype}, run_bench(cfg))
+
+    if opt.fused:
+        bs0 = int(opt.train_batches.split(",")[0])
+        for fuse in opt.fused.split(","):
+            cfg = {"BENCH_BATCH": bs0, "BENCH_DTYPE": opt.dtypes.split(",")[0],
+                   "BENCH_DDIM": 0, "BENCH_ITERS": opt.iters,
+                   "BENCH_FUSE": fuse}
+            emit("train_fused", {"batch": bs0, "fuse": fuse}, run_bench(cfg))
 
     for pair in opt.ddim.split(","):
         parts = pair.split(":")

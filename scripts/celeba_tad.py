@@ -53,6 +53,8 @@ def main():
 
     f = np.load(args.eval_npz)
     data, targ = f["data"], f["targ"]
+    attr_names = ([str(n) for n in f["attr_names"]]
+                  if "attr_names" in f.files else CELEBA_ATTRS)
     if data.ndim == 4 and data.shape[1] == 3:   # NCHW -> NHWC
         data = np.transpose(data, (0, 2, 3, 1))
     targ = (np.asarray(targ) > 0).astype(np.float32)
@@ -74,7 +76,7 @@ def main():
     result = tad_score(z, targ)
     print(f"TAD SCORE: {result['tad_score']:.4f}  "
           f"Attributes Captured: {result['attributes_captured']}")
-    for i, name in enumerate(CELEBA_ATTRS[:targ.shape[1]]):
+    for i, name in enumerate(attr_names[:targ.shape[1]]):
         print(f"  {name:<22} lat {int(result['argmax_latent'][i]):>4} "
               f"max {result['max_auroc'][i]:.3f} "
               f"nd {result['norm_diffs'][i]:.3f}")

@@ -83,6 +83,42 @@ def test_multichip_matches_single_chip(trained_bits):
                                float(m_multi["train/loss"]), rtol=2e-4)
 
 
+@pytest.mark.slow
+def test_unrolled_kstep_matches_single_steps(trained_bits):
+    """build_unrolled_train_step(k=2) must reproduce two single-step calls
+    (same batches, same per-substep fold_in rng derivation)."""
+    import jax
+    import jax.numpy as jnp
+
+    from encdiff_tpu.train import loop as train_loop
+
+    model, optimizer, state, frozen = trained_bits
+    images = np.random.RandomState(2).randint(
+        0, 256, size=(8, 32, 32, 3), dtype=np.uint8)
+    idx_matrix = np.asarray([[0, 1, 2, 3], [4, 5, 6, 7]], dtype=np.int32)
+    rng = jax.random.PRNGKey(9)
+
+    single = train_loop.build_train_step(model, optimizer, donate=False)
+    s_ref, m_ref = state, None
+    for j in range(2):
+        s_ref, m_ref = single(s_ref, frozen, images[idx_matrix[j]],
+                              jax.random.fold_in(rng, j))
+
+    fused = train_loop.build_unrolled_train_step(
+        model, optimizer, k=2, donate=False)
+    s_fused, m_fused = fused(state, frozen, jnp.asarray(images),
+                             jnp.asarray(idx_matrix), rng)
+
+    assert int(s_fused.step) == int(s_ref.step) == 2
+    np.testing.assert_allclose(float(m_fused["train/loss"]),
+                               float(m_ref["train/loss"]), rtol=1e-4)
+    ref_leaves = jax.tree_util.tree_leaves(s_ref.params)
+    fused_leaves = jax.tree_util.tree_leaves(s_fused.params)
+    for a, b in zip(ref_leaves, fused_leaves):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
+
+
 def test_epoch_loader_and_datamodule():
     from encdiff_tpu.data.datasets import SyntheticData
     from encdiff_tpu.train.data import (DataModuleFromConfig, epoch_loader,
