@@ -21,14 +21,34 @@ MARK=runs_r3/markers
 LOGS=runs_r3/logs
 mkdir -p "$MARK" "$LOGS" demo_artifacts/round3
 
-stage() {  # stage <name> <cmd...>: skip if marker exists, mark on success
+STALL_S=1800  # tunnel-chip RPCs can hang forever; no log write in 30 min = stalled
+stage() {  # stage <name> <cmd...>: skip if marker exists, mark on success.
+  # Runs the command in background and watchdogs the log mtime: a hung
+  # device RPC leaves the process asleep on a futex at 0% CPU (seen in the
+  # MCL matrix, 57-min stall) — kill by PID and retry once (stages resume:
+  # markers for train runs, CSV rows for the sweep).
   local name=$1; shift
   if [ -f "$MARK/$name.done" ]; then echo "[pipeline] $name: done, skip"; return 0; fi
-  echo "[pipeline] $name: start $(date -u +%H:%M:%S)"
-  "$@" >"$LOGS/$name.log" 2>&1
-  local rc=$?
-  if [ $rc -eq 0 ]; then touch "$MARK/$name.done"; echo "[pipeline] $name: OK";
-  else echo "[pipeline] $name: FAILED rc=$rc (log: $LOGS/$name.log)"; fi
+  local attempt rc
+  for attempt in 1 2; do
+    echo "[pipeline] $name: start attempt $attempt $(date -u +%H:%M:%S)"
+    "$@" >>"$LOGS/$name.log" 2>&1 &
+    local pid=$!
+    while kill -0 "$pid" 2>/dev/null; do
+      sleep 60
+      local age=$(( $(date +%s) - $(stat -c %Y "$LOGS/$name.log" 2>/dev/null || date +%s) ))
+      if [ "$age" -gt "$STALL_S" ]; then
+        echo "[pipeline] $name: STALLED (${age}s since last log write) — killing $pid"
+        kill -9 "$pid" 2>/dev/null; sleep 5
+        break
+      fi
+    done
+    wait "$pid"; rc=$?
+    if [ $rc -eq 0 ]; then
+      touch "$MARK/$name.done"; echo "[pipeline] $name: OK"; return 0
+    fi
+    echo "[pipeline] $name: attempt $attempt FAILED rc=$rc (log: $LOGS/$name.log)"
+  done
   return $rc
 }
 

@@ -59,8 +59,18 @@ def main(argv=None):
     types = ([t.strip() for t in opt.mcl_types.split(",")]
              if opt.mcl_types else [opt.mcl_type])
 
-    rows = []
+    # Resume: a tunnel-chip hang can kill the sweep mid-matrix; rows already
+    # in the CSV (without an error field) are done — skip them on relaunch.
+    rows = _load_existing(opt.logdir)
+    done = {(r["mcl_type"], float(r["lambda"])) for r in rows
+            if r.get("val/dci_disentanglement") not in (None, "")}
+    if done:
+        print(f"resuming sweep: {len(done)} cells already in CSV", flush=True)
+
     for mcl_type, lam in [(t, l) for t in types for l in lambdas]:
+        if (mcl_type, lam) in done:
+            print(f"=== skip {mcl_type} lambda={lam:g} (in CSV) ===", flush=True)
+            continue
         tag = f"{mcl_type}_lambda{lam:g}"
         print(f"=== MCL fine-tune {tag} ===", flush=True)
         argv_run = [
@@ -96,6 +106,14 @@ def main(argv=None):
 
     _write_csv(opt.logdir, rows)
     return rows
+
+
+def _load_existing(logdir):
+    out = os.path.join(logdir, "mcl_sweep.csv")
+    if not os.path.exists(out):
+        return []
+    with open(out, newline="") as fh:
+        return list(csv.DictReader(fh))
 
 
 def _write_csv(logdir, rows):
