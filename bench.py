@@ -33,11 +33,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# persistent compilation cache: first compile over the remote-compile tunnel
-# is minutes-slow; subsequent bench runs reuse it
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/jax_comp_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+from encdiff_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
 
 BATCH = int(os.environ.get("BENCH_BATCH", "128"))
 WARMUP = 3

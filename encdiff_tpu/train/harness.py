@@ -865,14 +865,9 @@ def main(argv=None):
 
     multihost.maybe_initialize_distributed()
 
-    # Persistent compilation cache: training programs recur across runs
-    # (MCL sweeps, control experiments, benchmark re-runs) and first
-    # compiles over the remote tunnel take minutes.
-    import jax
+    from encdiff_tpu.utils.compile_cache import enable_persistent_cache
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/jax_comp_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    enable_persistent_cache()
 
     parser = get_parser()
     opt, unknown = parser.parse_known_args(argv)

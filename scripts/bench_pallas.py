@@ -23,9 +23,8 @@ import os, sys, time, json
 import numpy as np
 sys.path.insert(0, os.environ["ENCDIFF_REPO"])
 import jax, jax.numpy as jnp
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/jax_comp_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+from encdiff_tpu.utils.compile_cache import enable_persistent_cache
+enable_persistent_cache()
 from __graft_entry__ import _flagship_config
 from encdiff_tpu.core.config import instantiate_from_config
 from encdiff_tpu.train import loop as train_loop
