@@ -104,6 +104,13 @@ else
   echo "[pipeline] faces_encdiff: SKIP (no faces VQ checkpoint)"
 fi
 
+# ---- stage 3b: faces FID / TAD / swap eval -------------------------------
+if [ -f "$MARK/faces_encdiff.done" ]; then
+  stage faces_eval bash scripts/round3_faces_eval.sh
+else
+  echo "[pipeline] faces_eval: SKIP (faces_encdiff not done)"
+fi
+
 # ---- stage 4: MFU / DDIM sweep (chip must be idle -> last) ---------------
 stage bench_sweep python scripts/bench_sweep.py \
   --out demo_artifacts/round3/bench_sweep.csv \
