@@ -136,12 +136,12 @@ def main():
         # block_until_ready returns before execution completes
         jax.device_get(metrics)
 
-        # best of 3 windows: the shared tunnel chip shows large run-to-run
+        # best of N windows: the shared tunnel chip shows large run-to-run
         # variance (16.5 vs 25.2 steps/s for identical code); the max window
         # is the least-interfered measurement
         calls = max(1, ITERS // fuse_k)
         window_rates = []
-        for w in range(3):
+        for w in range(int(os.environ.get("BENCH_WINDOWS", "5"))):
             t0 = time.perf_counter()
             for i in range(calls):
                 state, metrics = step_fn(

@@ -116,4 +116,30 @@ stage bench_sweep python scripts/bench_sweep.py \
   --out demo_artifacts/round3/bench_sweep.csv \
   --train_batches 128,256,512 --ddim "200:128,200:512,50:512,50:1024"
 
+# ---- stage 5: best-of-matrix MCL x 3 epochs from the v1 flagship ---------
+# The matrix fine-tunes the v2 checkpoint (DCI base 0.848); the headline
+# benchmark is the v1 flagship (0.907 -> 0.916 with 3-epoch
+# infonce_mechgrad in round 2). Re-run the matrix's WINNING loss type at
+# reference epoch count (3, run_mcl_parallel_amd.sh) from the v1 best-DCI
+# checkpoint to push the headline number.
+V1LDM=runs_full/2026-08-17T01-36-54_synthetic-shapes-full-encdiff
+V1VQ=runs_full/2026-08-17T01-11-43_synthetic_shapes_full_vq
+if [ -f runs_mcl_v2/mcl_sweep.csv ] && [ -d "$V1LDM/checkpoints/best_dci_013_0.9070" ]; then
+  WIN=$(python -c "
+import csv
+rows=[r for r in csv.DictReader(open('runs_mcl_v2/mcl_sweep.csv'))
+      if r.get('val/dci_disentanglement')]
+rows.sort(key=lambda r: float(r['val/dci_disentanglement']), reverse=True)
+print(rows[0]['mcl_type'], rows[0]['lambda']) if rows else print('')" )
+  WTYPE=$(echo "$WIN" | cut -d' ' -f1); WLAM=$(echo "$WIN" | cut -d' ' -f2)
+  if [ -n "$WTYPE" ]; then
+    stage mcl_best_v1 python scripts/run_mcl_sweep.py \
+      --base configs/demo/synthetic-shapes-full-encdiff.yaml \
+      --ckpt "$V1LDM/checkpoints/best_dci_013_0.9070" \
+      --vq_ckpt "$V1VQ/checkpoints/last" \
+      --mcl_types "$WTYPE" --lambdas "$WLAM" --max_epochs 3 -l runs_mcl_best
+    cp runs_mcl_best/mcl_sweep.csv demo_artifacts/round3/mcl_best_v1.csv 2>/dev/null
+  fi
+fi
+
 echo "[pipeline] all stages attempted $(date -u +%H:%M:%S)"
