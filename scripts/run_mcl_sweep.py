@@ -71,6 +71,9 @@ def main(argv=None):
         if (mcl_type, lam) in done:
             print(f"=== skip {mcl_type} lambda={lam:g} (in CSV) ===", flush=True)
             continue
+        # re-running a cell replaces its stale (errored) row
+        rows = [r for r in rows
+                if (r["mcl_type"], float(r["lambda"])) != (mcl_type, lam)]
         tag = f"{mcl_type}_lambda{lam:g}"
         print(f"=== MCL fine-tune {tag} ===", flush=True)
         argv_run = [

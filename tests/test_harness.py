@@ -198,3 +198,57 @@ def test_synthetic_full_grid_layout_and_registry():
     factors = gt.sample_factors(5, rs)
     obs = gt.sample_observations_from_factors(factors, rs)
     assert obs.shape == (5,)
+
+
+def test_mcl_sweep_resume_skips_completed_cells(tmp_path, monkeypatch):
+    """A tunnel hang can kill the sweep mid-matrix; on relaunch, cells whose
+    metrics already sit in mcl_sweep.csv must be skipped, error rows and
+    missing cells re-run (scripts/run_mcl_sweep.py resume path)."""
+    import csv
+    import importlib.util
+    import sys
+    import types
+
+    spec = importlib.util.spec_from_file_location(
+        "run_mcl_sweep", "scripts/run_mcl_sweep.py")
+    sweep = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sweep)
+
+    logdir = tmp_path / "runs"
+    logdir.mkdir()
+    done_row = {"mcl_type": "nce_logistic", "lambda": "0.01", "epochs": "1",
+                "val/dci_disentanglement": "0.83"}
+    err_row = {"mcl_type": "fisher_sm", "lambda": "0.01", "epochs": "1",
+               "val/dci_disentanglement": "", "error": "RuntimeError: x"}
+    with open(logdir / "mcl_sweep.csv", "w", newline="") as fh:
+        keys = sorted(set(done_row) | set(err_row))
+        w = csv.DictWriter(fh, fieldnames=keys)
+        w.writeheader()
+        w.writerows([done_row, err_row])
+
+    ran = []
+
+    class _FakeTrainer:
+        last_val_metrics = {"val/dci_disentanglement": 0.9}
+
+    fake_harness = types.SimpleNamespace(
+        main=lambda argv: ran.append(argv) or _FakeTrainer())
+    fake_train = types.ModuleType("encdiff_tpu.train")
+    fake_train.harness = fake_harness
+    monkeypatch.setitem(sys.modules, "encdiff_tpu.train", fake_train)
+    monkeypatch.setitem(sys.modules, "encdiff_tpu.train.harness",
+                        types.ModuleType("encdiff_tpu.train.harness"))
+    sys.modules["encdiff_tpu.train.harness"].main = fake_harness.main
+
+    rows = sweep.main(["--base", "b.yaml", "--ckpt", "c",
+                       "--mcl_types", "nce_logistic,fisher_sm",
+                       "--lambdas", "0.01", "-l", str(logdir)])
+
+    # only the errored cell re-ran; the completed one was skipped, and the
+    # stale error row was replaced (no duplicate cell rows)
+    assert len(ran) == 1
+    assert any("mcl_type=fisher_sm" in a for a in ran[0])
+    assert len(rows) == 2
+    by_cell = {(r["mcl_type"], float(r["lambda"])): r for r in rows}
+    assert by_cell[("nce_logistic", 0.01)]["val/dci_disentanglement"] == "0.83"
+    assert by_cell[("fisher_sm", 0.01)]["val/dci_disentanglement"] == 0.9
