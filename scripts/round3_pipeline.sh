@@ -142,4 +142,10 @@ print(rows[0]['mcl_type'], rows[0]['lambda']) if rows else print('')" )
   fi
 fi
 
+# ---- stage 6 (opportunistic): extend the v2 run — DCI was still climbing
+# at the 16-epoch cutoff (0.829 -> 0.848 over the last two evals).
+if [ -n "${V2LDM:-}" ] && [ -d "$V2LDM/checkpoints/last" ]; then
+  stage v2_extend python main_val.py -r "$V2LDM" -t true --max_epochs 28
+fi
+
 echo "[pipeline] all stages attempted $(date -u +%H:%M:%S)"
