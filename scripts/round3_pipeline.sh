@@ -32,6 +32,7 @@ stage() {  # stage <name> <cmd...>: skip if marker exists, mark on success.
   local attempt rc
   for attempt in 1 2; do
     echo "[pipeline] $name: start attempt $attempt $(date -u +%H:%M:%S)"
+    touch "$LOGS/$name.log"  # reset mtime: stale pre-existing logs must not trip the watchdog
     "$@" >>"$LOGS/$name.log" 2>&1 &
     local pid=$!
     while kill -0 "$pid" 2>/dev/null; do
