@@ -219,6 +219,102 @@ def render_all_v2(size: int = 64, horizon: float = 0.55,
     return out
 
 
+def render_all_v3(size: int = 64, horizon: float = 0.55,
+                  factor_sizes=None) -> np.ndarray:
+    """Shapes3D-faithful renderer, third generation.
+
+    The round-3 three-cell control (bands 0.9913 / v1 0.907 / v2 0.848,
+    demo_artifacts/round3) showed that the couplings v2 *added* in the name
+    of faithfulness — wall shading multiplied into wall hue, and in-place
+    silhouette rotation strong enough to confound square↔diamond — hurt
+    DCI, while real Shapes3D scenes are flat-lit with rotation-distinct
+    shapes (cube/sphere/cylinder/capsule never map onto each other under
+    the ±30° camera orbit).  v3 keeps ONLY the factor→pixel couplings the
+    real renders have (shapes3d.py:44 semantics):
+
+    - **flat-colored regions** (v1-style): floor and object are a single
+      flat hue fill; the wall keeps a fixed two-tone corner (the one
+      lighting cue real rooms show) whose *position* tracks azimuth.
+    - **orientation = camera azimuth ±30°**: slides the wall-corner line,
+      shifts the object horizontally by parallax (real camera orbits do
+      exactly this), and rotates the silhouette mildly (0.35·az ≤ 10.5°,
+      far from the 45° that would alias square into diamond).
+    - **anti-aliased SDF masks** (v2-style): scale/orientation stay
+      smooth, sub-pixel-codable signals.
+    """
+    fs = list(FACTOR_SIZES if factor_sizes is None else factor_sizes)
+    f_floor, f_wall, f_obj, f_scale, f_shape, f_orient = fs
+    n_images = int(np.prod(fs))
+    hy = int(size * horizon)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+
+    floor_colors = np.stack([_hue_rgb(i, f_floor) for i in range(f_floor)])
+    wall_colors = np.stack([_hue_rgb(i, f_wall, s=0.6, v=0.8)
+                            for i in range(f_wall)])
+    obj_colors = np.stack([_hue_rgb(i, f_obj, s=1.0, v=1.0)
+                           for i in range(f_obj)])
+
+    # camera azimuth per orientation value: ±30° like the real orbit
+    az = np.array([np.deg2rad(-30.0 + 60.0 * (o / max(f_orient - 1, 1)))
+                   for o in range(f_orient)], np.float32)
+    edge = 1.2  # px anti-aliasing width
+
+    # ---- wall: two-tone corner whose x position tracks azimuth ---------
+    corner_x = size * (0.5 + 0.55 * np.sin(az))          # (f_orient,)
+    wall_blend = np.clip(
+        (xx[None, :hy, :] - corner_x[:, None, None]) / edge + 0.5, 0.0, 1.0)
+    wall_shade_l, wall_shade_r = 0.8, 1.0                # fixed lighting
+    wall_mix = (wall_shade_l + (wall_shade_r - wall_shade_l)
+                * wall_blend)[..., None]                 # (f_orient,hy,size,1)
+
+    # ---- object: AA SDF alpha, parallax x-shift + mild rotation --------
+    cy = size * 0.62
+    n_geo = f_scale * f_shape * f_orient
+    alpha = np.empty((n_geo, size, size, 1), np.float32)
+    g = 0
+    for sc in range(f_scale):
+        radius = 8.0 + 9.0 * (sc / max(f_scale - 1, 1))
+        for sh in range(f_shape):
+            for o in range(f_orient):
+                cx = size / 2.0 + size * 0.16 * np.sin(az[o])  # parallax
+                dx, dy = xx - cx, yy - cy
+                ang = 0.35 * az[o]                  # ≤ 10.5°, no aliasing
+                ca, sa = np.cos(ang), np.sin(ang)
+                rx, ry = ca * dx + sa * dy, -sa * dx + ca * dy
+                if sh == 0:      # square: Chebyshev signed distance
+                    d = np.maximum(np.abs(rx), np.abs(ry)) - radius
+                elif sh == 1:    # circle (rotation-invariant, like spheres)
+                    d = np.sqrt(dx * dx + dy * dy) - radius
+                elif sh == 2:    # triangle (pointing up), approximate sdf
+                    d = np.maximum(np.abs(rx) * 2.0 - (ry + radius),
+                                   np.abs(ry) - radius)
+                    d = d * 0.5
+                else:            # diamond (L1 ball)
+                    d = (np.abs(rx) + np.abs(ry) - radius * 1.3) * 0.7071
+                alpha[g, :, :, 0] = np.clip(0.5 - d / edge, 0.0, 1.0)
+                g += 1
+
+    geo_orient = (np.arange(n_geo) % f_orient)
+
+    out = np.empty((n_images, size, size, 3), np.uint8)
+    idx = 0
+    for fl in range(f_floor):
+        floor_rgb = np.broadcast_to(floor_colors[fl],
+                                    (size - hy, size, 3)).astype(np.float32)
+        for wa in range(f_wall):
+            wall_rgb = wall_mix * wall_colors[wa]    # (f_orient,hy,size,3)
+            for ob in range(f_obj):
+                blk = np.empty((n_geo, size, size, 3), np.float32)
+                blk[:, :hy] = wall_rgb[geo_orient]
+                blk[:, hy:] = floor_rgb
+                blk = alpha * obj_colors[ob] + (1.0 - alpha) * blk
+                np.copyto(out[idx:idx + n_geo],
+                          np.clip(blk, 0, 255).astype(np.uint8))
+                idx += n_geo
+    assert idx == n_images
+    return out
+
+
 _CACHE: dict[tuple, np.ndarray] = {}
 
 
@@ -325,6 +421,42 @@ class SyntheticShapes3DV2Full(ArrayDataset):
 
 
 class SyntheticShapes3DV2FullTrain(SyntheticShapes3DV2Full):
+    pass
+
+
+class SyntheticShapes3DV3Full(ArrayDataset):
+    """The 480,000-image grid rendered by :func:`render_all_v3` (flat-lit
+    regions, camera-azimuth corner slide + object parallax, AA SDF masks —
+    only the factor-pixel couplings real Shapes3D has). Same factor
+    structure as :class:`SyntheticShapes3DFull`; pairs with
+    ``eval_name: synthetic_shapes_full``. Disk-cached under
+    ``$ENCDIFF_DATA_CACHE`` (default ``/tmp/encdiff_cache``)."""
+
+    factor_sizes = FULL_FACTOR_SIZES
+
+    def __init__(self, image_size: int = 64, **kwargs):
+        del kwargs
+        key = ("v3", image_size, tuple(self.factor_sizes))
+        if key not in _CACHE:
+            import os
+
+            cache_dir = os.environ.get("ENCDIFF_DATA_CACHE",
+                                       "/tmp/encdiff_cache")
+            tag = "x".join(map(str, self.factor_sizes))
+            path = os.path.join(cache_dir, f"shapes3d_v3_{image_size}_"
+                                           f"{tag}.npy")
+            if os.path.exists(path):
+                _CACHE[key] = np.load(path, mmap_mode="r")
+            else:
+                arr = render_all_v3(image_size,
+                                    factor_sizes=self.factor_sizes)
+                os.makedirs(cache_dir, exist_ok=True)
+                np.save(path, arr)
+                _CACHE[key] = arr
+        super().__init__(_CACHE[key], with_idx=True)
+
+
+class SyntheticShapes3DV3FullTrain(SyntheticShapes3DV3Full):
     pass
 
 

@@ -305,6 +305,50 @@ def test_synthetic_renderers_factor_layout():
     assert abs(c0[1] - c1[1]) > 4.0, (c0, c1)
 
 
+def test_synthetic_v3_factor_layout():
+    """v3 renderer: flat-lit faithfulness constraints — floor hue only
+    below the horizon, wall hue only above, orientation shifts the object
+    horizontally (parallax, unlike v2's centered object), and the mild
+    silhouette rotation (≤10.5°) never aliases square into diamond."""
+    import numpy as np
+
+    from encdiff_tpu.data.synthetic_shapes import render_all_v3
+
+    fs = [3, 3, 3, 2, 4, 5]
+    bases = np.concatenate([np.cumprod(fs[::-1])[::-1][1:], [1]])
+    size = 64
+    hy = int(size * 0.55)
+    v3 = render_all_v3(size, factor_sizes=fs)
+    assert v3.shape == (int(np.prod(fs)), size, size, 3)
+
+    d_floor = np.where((v3[0] != v3[int(bases[0])]).any(axis=(1, 2)))[0]
+    assert d_floor.min() >= hy
+    d_wall = np.where((v3[0] != v3[int(bases[1])]).any(axis=(1, 2)))[0]
+    assert d_wall.max() < hy
+
+    # orientation → object parallax: the object-hue-sensitive pixel set
+    # moves horizontally between the extreme azimuths
+    def obj_mask(base_idx):
+        return (v3[base_idx] != v3[base_idx + int(bases[2])]).any(axis=2)
+
+    c_left = np.argwhere(obj_mask(0)).mean(axis=0)
+    c_right = np.argwhere(obj_mask(int(bases[5]) * (fs[5] - 1))).mean(axis=0)
+    assert c_right[1] - c_left[1] > 6.0, (c_left, c_right)
+
+    # flat floor: floor pixels away from the object share one exact color
+    # (no gradient); sample the bottom-left corner strip
+    floor_px = v3[0, hy + 2:, :4, :].reshape(-1, 3)
+    assert (floor_px == floor_px[0]).all()
+
+    # square (shape 0) vs diamond (shape 3) stay distinct at every
+    # orientation: silhouette IoU < 0.8
+    for o in range(fs[5]):
+        sq = obj_mask(int(bases[5]) * o)
+        di = obj_mask(int(bases[4]) * 3 + int(bases[5]) * o)
+        iou = (sq & di).sum() / max((sq | di).sum(), 1)
+        assert iou < 0.8, (o, iou)
+
+
 def test_synthetic_faces_attributes_and_layout():
     """Face grid: attribute derivation is consistent with the factor
     layout, and the eval-npz writer produces the celeba_tad input format."""
