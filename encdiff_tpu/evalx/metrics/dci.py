@@ -42,6 +42,10 @@ def _compute_dci(mus_train, ys_train, mus_test, ys_test,
         "informativeness_test": test_err,
         "disentanglement": disentanglement(importance_matrix),
         "completeness": completeness(importance_matrix),
+        # (codes x factors) diagnostic: which latents carry which factor —
+        # lets a plateau be read off the eval JSON (factor split across
+        # latents vs latent polluted by several factors) without rerunning
+        "importance_matrix": np.round(importance_matrix, 4).tolist(),
     }
 
 
