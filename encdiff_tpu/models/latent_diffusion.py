@@ -258,6 +258,30 @@ class LatentDiffusion(DDPM):
                                                 method=_encode_and_warp)
         return tokens, u, None
 
+    @staticmethod
+    def split_batch(batch):
+        """Normalize a train batch to ``(x, z_cached)``.
+
+        ``batch`` is either a (B,H,W,3) image array or a dict
+        ``{"image": images, "z": pre-scale first-stage code}`` — the
+        precomputed-latent path (harness ``--cache_latents``): the frozen
+        VQ encode (autoencoder.py:313-316 — a pure conv stack, no rng) is
+        deterministic, so re-encoding the same pixels every epoch recomputes
+        identical values; caching z once trades ~14% of the train-step FLOPs
+        (and the largest-activation convs) for 0.7 GB of HBM at 480k/16x16x3.
+        """
+        z = None
+        if isinstance(batch, dict):
+            z = batch["z"]
+            batch = batch["image"]
+        if jnp.issubdtype(batch.dtype, jnp.integer):
+            # loaders ship uint8 over PCIe; normalize on device (the
+            # reference's host-side ToTensor+Normalize, disdata.py:80-86)
+            x = batch.astype(jnp.float32) / 127.5 - 1.0
+        else:
+            x = batch.astype(jnp.float32)
+        return x, z
+
     # --- loss (the hot path; called under value_and_grad) --------------------
     def loss_fn(self, trainable, frozen, batch, rng, scale_factor,
                 train: bool = True, with_mcl: bool = True):
@@ -274,17 +298,14 @@ class LatentDiffusion(DDPM):
         Returns (loss, (loss_dict, new_batch_stats)).
         """
         t_rng, n_rng, mcl_rng = jax.random.split(rng, 3)
-        if jnp.issubdtype(batch.dtype, jnp.integer):
-            # loaders ship uint8 over PCIe; normalize on device (the
-            # reference's host-side ToTensor+Normalize, disdata.py:80-86)
-            x = batch.astype(jnp.float32) / 127.5 - 1.0
-        else:
-            x = batch.astype(jnp.float32)
+        x, z = self.split_batch(batch)
         fs_vars = frozen["first_stage"]
 
         # frozen first-stage encode (no grad flows by construction: fs params
-        # are not in `trainable`)
-        z = self.encode_first_stage(fs_vars, x)
+        # are not in `trainable`); skipped when the precomputed-latent path
+        # ships z with the batch
+        if z is None:
+            z = self.encode_first_stage(fs_vars, x)
         z = self.get_first_stage_encoding(z, scale_factor)
 
         cond_vars = {"params": trainable["cond"],
@@ -349,12 +370,10 @@ class LatentDiffusion(DDPM):
         from encdiff_tpu.losses.mcl import mcl_loss
 
         _, _, mcl_rng = jax.random.split(rng, 3)
-        if jnp.issubdtype(batch.dtype, jnp.integer):
-            x = batch.astype(jnp.float32) / 127.5 - 1.0
-        else:
-            x = batch.astype(jnp.float32)
+        x, z = self.split_batch(batch)
         fs_vars = frozen["first_stage"]
-        z = self.encode_first_stage(fs_vars, x)
+        if z is None:
+            z = self.encode_first_stage(fs_vars, x)
         z = self.get_first_stage_encoding(z, scale_factor)
         cond_vars = {"params": trainable["cond"],
                      "batch_stats": frozen["cond_batch_stats"]}
@@ -376,10 +395,9 @@ class LatentDiffusion(DDPM):
         """1/std(z) over the first batch when scale_by_std is set."""
         if not self.scale_by_std:
             return jnp.asarray(self.scale_factor, jnp.float32)
-        if jnp.issubdtype(batch.dtype, jnp.integer):
-            batch = batch.astype(jnp.float32) / 127.5 - 1.0
-        z = self.encode_first_stage(variables["first_stage"],
-                                    batch.astype(jnp.float32))
+        x, z = self.split_batch(batch)
+        if z is None:
+            z = self.encode_first_stage(variables["first_stage"], x)
         z = z.astype(jnp.float32)  # std in f32 even under bf16 activations
         return 1.0 / jnp.maximum(jnp.std(z.reshape(-1)), 1e-8)
 

@@ -104,6 +104,12 @@ def get_parser(**parser_kwargs):
                         nargs="?", const=True,
                         help="keep the uint8 dataset resident in HBM and "
                              "gather batches on device (datasets < 8 GB)")
+    parser.add_argument("--cache_latents", type=str2bool, default=True,
+                        nargs="?", const=True,
+                        help="with --device_data and a frozen VQ first "
+                             "stage: encode the dataset once at startup and "
+                             "train on cached latents (identical math, "
+                             "~14% fewer FLOPs/step)")
     return parser
 
 
@@ -158,7 +164,8 @@ class Trainer:
     def __init__(self, config, lightning_config=None, logdir="logs/run",
                  devices=None, seed=23, accumulate=1, scale_lr=True,
                  val_batches=None, eval_metrics=None,
-                 check_val_every_n_epoch=1, device_data=True):
+                 check_val_every_n_epoch=1, device_data=True,
+                 cache_latents=True):
         import jax
 
         from encdiff_tpu.core.config import instantiate_from_config, to_plain
@@ -174,6 +181,7 @@ class Trainer:
         self.eval_metrics = eval_metrics
         self.check_val_every_n_epoch = max(1, check_val_every_n_epoch or 1)
         self.device_data = device_data
+        self.cache_latents = cache_latents
 
         model_cfg = to_plain(config["model"])
         self.base_lr = float(model_cfg.get("base_learning_rate", 1e-4))
@@ -346,18 +354,33 @@ class Trainer:
             and (split_pref == "1"
                  or (split_pref == "auto"
                      and jax.default_backend() == "axon")))
+        # Precomputed-latent training: the frozen VQModelInterface encode is
+        # deterministic, so encode the device-resident dataset ONCE and feed
+        # {image, z} batches (LatentDiffusion.split_batch). ~14% of the
+        # step's FLOPs and its largest-activation convs removed; identical
+        # math. --cache_latents=false opts out.
+        step_cache, latent_hwc = None, None
+        use_cache = (self.cache_latents and use_dev_data
+                     and getattr(getattr(model, "first_stage_model", None),
+                                 "is_interface", False))
         if use_split_mcl:
             if use_dev_data:
                 images_dev = device_cached_images(images_host, repl)
                 steps_per_epoch = (len(self.data._raw("train"))
                                    // self.batch_size)
                 self._images_dev = images_dev
+                step_cache = images_dev
+                if use_cache:
+                    step_cache, latent_hwc = train_loop.precompute_latents(
+                        model, self.frozen, images_dev)
                 step_fn = train_loop.build_split_mcl_epoch_step(
-                    model, optimizer, steps_per_epoch, mesh=self.mesh)
+                    model, optimizer, steps_per_epoch, mesh=self.mesh,
+                    latent_hwc=latent_hwc)
                 print(f"[harness] dataset cached on device "
                       f"({images_host.nbytes / 2**20:.0f} MiB), "
                       f"{steps_per_epoch} steps/epoch; MCL split-program "
-                      f"step (ENCDIFF_SPLIT_MCL={split_pref})")
+                      f"step (ENCDIFF_SPLIT_MCL={split_pref}); "
+                      f"latents cached={use_cache}")
             else:
                 step_fn = train_loop.build_split_mcl_train_step(
                     model, optimizer, mesh=self.mesh)
@@ -369,11 +392,17 @@ class Trainer:
             images_dev = device_cached_images(images_host, repl)
             steps_per_epoch = len(self.data._raw("train")) // self.batch_size
             self._images_dev = images_dev
+            step_cache = images_dev
+            if use_cache:
+                step_cache, latent_hwc = train_loop.precompute_latents(
+                    model, self.frozen, images_dev)
             step_fn = train_loop.build_epoch_train_step(
-                model, optimizer, steps_per_epoch, mesh=self.mesh)
+                model, optimizer, steps_per_epoch, mesh=self.mesh,
+                latent_hwc=latent_hwc)
             print(f"[harness] dataset cached on device "
                   f"({images_host.nbytes / 2**20:.0f} MiB), "
-                  f"{steps_per_epoch} steps/epoch on-device indexed")
+                  f"{steps_per_epoch} steps/epoch on-device indexed; "
+                  f"latents cached={use_cache}")
         else:
             step_fn = train_loop.build_train_step(model, optimizer,
                                                   mesh=self.mesh)
@@ -419,7 +448,7 @@ class Trainer:
                 for batch in batches(epoch):
                     if use_dev_data:
                         self.state, metrics = step_fn(
-                            self.state, self.frozen, images_dev, batch,
+                            self.state, self.frozen, step_cache, batch,
                             rng_base)
                     else:
                         rng, srng = jax.random.split(rng)
@@ -916,7 +945,9 @@ def main(argv=None):
                       eval_metrics=opt.eval_metrics,
                       check_val_every_n_epoch=(
                           opt.check_val_every_n_epoch
-                          or trainer_cfg.get("check_val_every_n_epoch", 1)))
+                          or trainer_cfg.get("check_val_every_n_epoch", 1)),
+                      device_data=opt.device_data,
+                      cache_latents=opt.cache_latents)
     if opt.resume_ckpt and not ckpt:
         ckpt = opt.resume_ckpt
     if ckpt:

@@ -44,16 +44,78 @@ def flatten_for_device(images):
     return images.reshape(len(images), -1)
 
 
-def gather_images(images, idx):
-    """Device-side batch gather; restores (B, H, W, 3) from the flat
-    layout (square images, 3 channels — every supported dataset)."""
+def gather_images(images, idx, hwc=None):
+    """Device-side batch gather; restores (B, H, W, C) from the flat
+    layout. ``hwc`` gives the per-row shape explicitly (latent caches with
+    C != 3); default infers square 3-channel images — every supported
+    image dataset."""
     batch = jnp.take(images, idx, axis=0)
     if batch.ndim == 2:
-        hw = batch.shape[1] // 3
-        side = round(float(np.sqrt(hw)))
-        assert side * side * 3 == batch.shape[1], batch.shape
-        batch = batch.reshape(batch.shape[0], side, side, 3)
+        if hwc is None:
+            hw = batch.shape[1] // 3
+            side = round(float(np.sqrt(hw)))
+            assert side * side * 3 == batch.shape[1], batch.shape
+            hwc = (side, side, 3)
+        batch = batch.reshape(batch.shape[0], *hwc)
     return batch
+
+
+def gather_batch(images, idx, latent_hwc=None):
+    """``gather_images`` over the device cache: a plain image array, or the
+    precomputed-latent dict ``{"image": flat imgs, "z": flat codes}``
+    (harness --cache_latents). Returns the batch in the shape
+    ``LatentDiffusion.split_batch`` expects."""
+    if isinstance(images, dict):
+        return {"image": gather_images(images["image"], idx),
+                "z": gather_images(images["z"], idx, hwc=latent_hwc)}
+    return gather_images(images, idx)
+
+
+def precompute_latents(model, frozen, images_dev, chunk: int = 2048):
+    """One-time frozen first-stage encode of the whole device-resident image
+    cache (precomputed-latent training; see ``LatentDiffusion.split_batch``).
+
+    The VQModelInterface encode is a pure conv stack — deterministic — so
+    this trades the per-step encode (the largest-activation convs in the
+    train step, ~14% of its FLOPs at 64px) for one pass at startup plus
+    N*h*w*c latents resident in HBM (0.7 GB at 480k/16x16x3/f32 — next to
+    the 5.5 GB uint8 image cache itself).
+
+    Returns ``({"image": images_dev, "z": flat z}, (h, w, c))`` ready for
+    ``build_epoch_train_step(..., latent_hwc=...)``. One compiled program,
+    ceil(N/chunk) dispatches; the final chunk re-encodes overlapping rows
+    so every dispatch has static shapes.
+    """
+    n, d = images_dev.shape
+    chunk = int(min(chunk, n))
+    side = round(float(np.sqrt(d // 3)))
+    assert side * side * 3 == d, images_dev.shape
+    is_int = jnp.issubdtype(images_dev.dtype, jnp.integer)
+
+    hwc_box = []
+
+    @jax.jit
+    def enc(fs_vars, flat, start):
+        rows = jax.lax.dynamic_slice(flat, (start, 0), (chunk, d))
+        x = rows.reshape(chunk, side, side, 3)
+        x = (x.astype(jnp.float32) / 127.5 - 1.0) if is_int \
+            else x.astype(jnp.float32)
+        z = model.encode_first_stage(fs_vars, x)
+        hwc_box.append(tuple(int(v) for v in z.shape[1:]))  # trace-time
+        return z.reshape(chunk, -1)
+
+    starts = list(range(0, n - chunk + 1, chunk))
+    if starts[-1] + chunk < n:
+        starts.append(n - chunk)  # overlapping final chunk, trimmed below
+    parts = []
+    prev_end = 0
+    for s in starts:
+        zc = enc(frozen["first_stage"], images_dev, jnp.int32(s))
+        parts.append(zc[prev_end - s:] if s < prev_end else zc)
+        prev_end = s + chunk
+    z_flat = jnp.concatenate(parts, axis=0)
+    assert z_flat.shape[0] == n, (z_flat.shape, n)
+    return {"image": images_dev, "z": z_flat}, hwc_box[0]
 
 
 class TrainState(NamedTuple):
@@ -282,7 +344,8 @@ def build_split_mcl_train_step(model, optimizer, mesh=None,
 
 
 def build_split_mcl_epoch_step(model, optimizer, steps_per_epoch: int,
-                               mesh=None, ema_decay: float = 0.9999):
+                               mesh=None, ema_decay: float = 0.9999,
+                               latent_hwc=None):
     """Device-resident-data variant of ``build_split_mcl_train_step`` with
     the epoch-step call signature ``step(state, frozen, images, perm,
     rng_base)``: a fourth (tiny) program slices the epoch permutation and
@@ -295,7 +358,7 @@ def build_split_mcl_epoch_step(model, optimizer, steps_per_epoch: int,
         i = (state_step % steps_per_epoch).astype(jnp.int32)
         b = perm.shape[0] // steps_per_epoch
         idx = jax.lax.dynamic_slice(perm, (i * b,), (b,))
-        return gather_images(images, idx)
+        return gather_batch(images, idx, latent_hwc=latent_hwc)
 
     if mesh is None:
         gather_jit = jax.jit(gather_fn)
@@ -365,7 +428,7 @@ def build_indexed_train_step(model, optimizer, mesh=None,
 
 def build_epoch_train_step(model, optimizer, steps_per_epoch: int,
                            mesh=None, ema_decay: float = 0.9999,
-                           donate: bool = True):
+                           donate: bool = True, latent_hwc=None):
     """Fully device-driven step: ONE dispatch per step, zero per-step host
     work. The epoch permutation lives on device; the step slices its batch
     indices at ``state.step % steps_per_epoch`` and derives its rng with
@@ -374,14 +437,15 @@ def build_epoch_train_step(model, optimizer, steps_per_epoch: int,
     dominates on remote/tunneled TPUs).
 
     Returns ``step(state, frozen, images, perm, rng_base)``; upload a fresh
-    ``perm`` once per epoch.
+    ``perm`` once per epoch. ``images`` may be the precomputed-latent dict
+    (see ``gather_batch``); pass its row shape as ``latent_hwc``.
     """
 
     def train_step(state: TrainState, frozen, images, perm, rng_base):
         i = (state.step % steps_per_epoch).astype(jnp.int32)
         b = perm.shape[0] // steps_per_epoch
         idx = jax.lax.dynamic_slice(perm, (i * b,), (b,))
-        batch = gather_images(images, idx)
+        batch = gather_batch(images, idx, latent_hwc=latent_hwc)
         rng = jax.random.fold_in(rng_base, state.step)
         if model.scale_by_std:
             sf = jax.lax.cond(
