@@ -54,9 +54,11 @@ FULL = os.environ.get("BENCH_FULL", "1") == "1"
 DO_DDIM = FULL and os.environ.get("BENCH_DDIM", "1") == "1"
 DO_TRAIN = os.environ.get("BENCH_TRAIN", "1") == "1"
 SAMPLE_BATCH = int(os.environ.get("BENCH_SAMPLE_BATCH", str(BATCH)))
-# Precomputed-latent train step (harness --cache_latents): frozen VQ encode
-# done once outside the step; the step consumes {"image", "z"} batches.
-CACHE_LATENTS = os.environ.get("BENCH_CACHE_LATENTS", "0") == "1"
+# Precomputed-latent train step (harness --cache_latents, the shipped
+# default): frozen VQ encode done once outside the step; the step consumes
+# {"image", "z"} batches. BENCH_CACHE_LATENTS=0 measures the
+# encode-every-step path (the r02 baseline's semantics).
+CACHE_LATENTS = os.environ.get("BENCH_CACHE_LATENTS", "1") == "1"
 # Cast the denoiser/decoder weights to bf16 ONCE before the DDIM scan.
 # The sampler measures HBM-bound (ddim_hbm_frac ~0.95 in the r3 sweep), so
 # halving weight traffic is the remaining lever; inference-only, never
@@ -105,7 +107,9 @@ def main():
         np.random.RandomState(0)
         .uniform(-1, 1, size=(BATCH, 64, 64, 3))
         .astype(np.float32))
-    if CACHE_LATENTS:
+    # fused builders gather raw image rows; cached latents don't apply there
+    cache_latents = CACHE_LATENTS and not FUSE
+    if cache_latents:
         z0 = jax.jit(model.encode_first_stage)(frozen["first_stage"], batch)
         float(jnp.mean(z0))  # host-fetch barrier: finish before timing
         batch = {"image": batch, "z": z0}
@@ -116,9 +120,6 @@ def main():
     # bench batch as "images" with identity index rows reuses its pixels
     # while keeping shapes/work identical to real training.
     fuse_k = 1
-    if FUSE and CACHE_LATENTS:
-        raise SystemExit("BENCH_FUSE and BENCH_CACHE_LATENTS are exclusive "
-                         "(the fused builders gather raw image rows)")
     if FUSE:
         mode, _, kstr = FUSE.partition(":")
         fuse_k = max(1, int(kstr or "4"))
@@ -149,7 +150,7 @@ def main():
     extra = {"batch": BATCH, "dtype": DTYPE}
     if FUSE:
         extra["fuse"] = FUSE
-    if CACHE_LATENTS:
+    if cache_latents:
         extra["cache_latents"] = True
     if DO_TRAIN:
         for i in range(WARMUP):

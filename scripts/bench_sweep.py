@@ -43,6 +43,9 @@ def main(argv=None):
     p.add_argument("--ddim", default="200:128,200:512,200:2048,50:512",
                    help="comma list of steps:sample_batch pairs")
     p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--cached_variants", action="store_true",
+                   help="measure each train batch both with and without "
+                        "the precomputed-latent step (BENCH_CACHE_LATENTS)")
     p.add_argument("--fused", default="scan:4,scan:8",
                    help="K-step fusion variants (BENCH_FUSE) measured at the "
                         "first train batch; '' disables. unroll:K multiplies "
@@ -71,9 +74,12 @@ def main(argv=None):
 
     for dtype in opt.dtypes.split(","):
         for bs in [int(x) for x in opt.train_batches.split(",")]:
-            cfg = {"BENCH_BATCH": bs, "BENCH_DTYPE": dtype,
-                   "BENCH_DDIM": 0, "BENCH_ITERS": opt.iters}
-            emit("train", {"batch": bs, "dtype": dtype}, run_bench(cfg))
+            for cached in ([1, 0] if opt.cached_variants else [1]):
+                cfg = {"BENCH_BATCH": bs, "BENCH_DTYPE": dtype,
+                       "BENCH_DDIM": 0, "BENCH_ITERS": opt.iters,
+                       "BENCH_CACHE_LATENTS": cached}
+                emit("train", {"batch": bs, "dtype": dtype,
+                               "cached": cached}, run_bench(cfg))
 
     if opt.fused:
         bs0 = int(opt.train_batches.split(",")[0])
@@ -86,13 +92,23 @@ def main(argv=None):
     for pair in opt.ddim.split(","):
         parts = pair.split(":")
         steps, sbatch = int(parts[0]), int(parts[1])
-        pallas = parts[2] if len(parts) > 2 else None
+        # optional extra tokens: "bf16p" (cast weights to bf16 before the
+        # scan — the HBM-roofline byte lever) or an ENCDIFF_PALLAS value
+        pallas, bf16p = None, False
+        for tok in parts[2:]:
+            if tok == "bf16p":
+                bf16p = True
+            else:
+                pallas = tok
         cfg = {"BENCH_TRAIN": 0, "BENCH_DDIM_STEPS": steps,
                "BENCH_SAMPLE_BATCH": sbatch, "BENCH_BATCH": 128}
         if pallas:
             cfg["ENCDIFF_PALLAS"] = pallas
+        if bf16p:
+            cfg["BENCH_BF16_PARAMS"] = 1
         emit("ddim", {"ddim_steps": steps, "sample_batch": sbatch,
-                      "pallas": pallas or ""}, run_bench(cfg))
+                      "pallas": pallas or "", "bf16p": int(bf16p)},
+             run_bench(cfg))
 
     print(f"sweep -> {opt.out} ({len(rows)} rows)")
 
