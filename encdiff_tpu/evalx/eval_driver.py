@@ -37,8 +37,16 @@ def reduce_tokens_pca1(reps: np.ndarray) -> np.ndarray:
 def eval_func(label_dataset, reps: np.ndarray, save_path: str | None,
               step: int, preflix: str = "", seed: int = 0,
               dci_predictor: str = "gradient_boosting",
-              metrics=("beta_VAE", "dci", "MIG", "factor_VAE")) -> dict:
-    """Run the in-training metric battery and persist <step>.json."""
+              metrics=("beta_VAE", "dci", "MIG", "factor_VAE"),
+              budget: str = "full") -> dict:
+    """Run the in-training metric battery and persist <step>.json.
+
+    ``budget="fast"`` is the epoch-monitoring tier: DCI drops to 2.5k/1.25k
+    probes and 20 boosting rounds (~20x cheaper on a 1-core host — the GBT
+    is the battery's hog). The reference protocol (10k/5k, sklearn GBT
+    defaults; main_val.py:57-94) stays the default and is what the post-fit
+    test pass reports; fast-budget JSONs are tagged ``dci_budget``.
+    """
     reps = np.asarray(reps)
     if reps.ndim == 3:
         reps = reduce_tokens_pca1(reps)
@@ -48,6 +56,7 @@ def eval_func(label_dataset, reps: np.ndarray, save_path: str | None,
         # observations are integer indices (the index-lookup trick)
         return reps[np.asarray(obs, dtype=np.int64)]
 
+    fast = budget == "fast"
     value_dict: dict[str, Any] = {}
     if "beta_VAE" in metrics:
         value_dict["beta_VAE"] = compute_beta_vae_sklearn(
@@ -55,10 +64,16 @@ def eval_func(label_dataset, reps: np.ndarray, save_path: str | None,
             np.random.RandomState(seed), batch_size=64, num_train=10000,
             num_eval=5000)
     if "dci" in metrics:
+        if fast and dci_predictor == "gradient_boosting":
+            dci_predictor = "gradient_boosting_fast"
         value_dict["dci"] = compute_dci(
             label_dataset, representation_function,
-            np.random.RandomState(seed), num_train=10000, num_test=5000,
+            np.random.RandomState(seed),
+            num_train=2500 if fast else 10000,
+            num_test=1250 if fast else 5000,
             predictor=dci_predictor)
+        if fast:
+            value_dict["dci"]["dci_budget"] = "fast"
     if "MIG" in metrics:
         value_dict["MIG"] = compute_mig(
             label_dataset, representation_function,

@@ -59,6 +59,13 @@ def compute_importance_gbt(x_train, y_train, x_test, y_test,
     for i in range(num_factors):
         if predictor == "gradient_boosting":
             model = GradientBoostingClassifier()
+        elif predictor == "gradient_boosting_fast":
+            # in-training monitoring budget: 5x fewer boosting rounds. The
+            # protocol number (disentanglement_lib defaults, 100 rounds)
+            # comes from the post-fit test() pass; sklearn GBT fits
+            # n_classes one-vs-rest ensembles per factor, which makes the
+            # default ~18 min/val on a 1-core host for Shapes3D.
+            model = GradientBoostingClassifier(n_estimators=20)
         elif predictor == "random_forest":
             # max_features=None so importances concentrate like GBT's
             # (sqrt-subsampling smears importance onto noise features)

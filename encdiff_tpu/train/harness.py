@@ -110,6 +110,12 @@ def get_parser(**parser_kwargs):
                              "stage: encode the dataset once at startup and "
                              "train on cached latents (identical math, "
                              "~14% fewer FLOPs/step)")
+    parser.add_argument("--full_val_metrics", type=str2bool, default=False,
+                        nargs="?", const=True,
+                        help="run the full reference-protocol metric "
+                             "battery at every val epoch instead of the "
+                             "fast monitoring tier (test() always uses the "
+                             "full protocol)")
     return parser
 
 
@@ -165,7 +171,7 @@ class Trainer:
                  devices=None, seed=23, accumulate=1, scale_lr=True,
                  val_batches=None, eval_metrics=None,
                  check_val_every_n_epoch=1, device_data=True,
-                 cache_latents=True):
+                 cache_latents=True, full_val_metrics=False):
         import jax
 
         from encdiff_tpu.core.config import instantiate_from_config, to_plain
@@ -182,6 +188,9 @@ class Trainer:
         self.check_val_every_n_epoch = max(1, check_val_every_n_epoch or 1)
         self.device_data = device_data
         self.cache_latents = cache_latents
+        # per-epoch vals run the fast metric tier (eval_driver budget);
+        # the post-fit test() always reports the full reference protocol
+        self.full_val_metrics = full_val_metrics
 
         model_cfg = to_plain(config["model"])
         self.base_lr = float(model_cfg.get("base_learning_rate", 1e-4))
@@ -755,9 +764,11 @@ class Trainer:
             step = int(np.asarray(jax.device_get(self.state.step)))
             # reuse the fit-time device-resident array: the one-dispatch
             # sweep instead of streaming every batch through the host
+            # the test pass always reports the full reference protocol,
+            # whatever the per-epoch monitoring tier was
             results = self.validate(encode_fn, epoch=-1, step=step,
                                     images_dev=getattr(self, "_images_dev",
-                                                       None))
+                                                       None), budget="full")
         with open(out_path, "w") as fh:
             json.dump(results, fh, indent=2)
         print(f"[harness] test results -> {out_path}: " + " ".join(
@@ -799,7 +810,7 @@ class Trainer:
         print(f"[harness] run metadata -> {path}")
 
     def validate(self, encode_fn, epoch: int, step: int,
-                 images_dev=None) -> dict:
+                 images_dev=None, budget: str | None = None) -> dict:
         """Representation sweep + disentanglement metric battery
         (ddpm_enc.py:378-425 -> main_val.py:38-96).
 
@@ -861,8 +872,9 @@ class Trainer:
         mlist = (tuple(self.eval_metrics.split(","))
                  if self.eval_metrics else
                  ("beta_VAE", "dci", "MIG", "factor_VAE"))
+        tier = budget or ("full" if self.full_val_metrics else "fast")
         scores = eval_func(model.label_dataset, reps, metrics_dir, step,
-                           metrics=mlist)
+                           metrics=mlist, budget=tier)
         out = {}
         if "factor_VAE" in scores:
             out["val/factor_vae_score"] = scores["factor_VAE"].get(
@@ -874,7 +886,7 @@ class Trainer:
             out["val/mig"] = scores["MIG"].get("discrete_mig", 0.0)
         if "beta_VAE" in scores:
             out["val/beta_vae"] = scores["beta_VAE"].get("eval_accuracy", 0.0)
-        print(f"[val epoch {epoch}] " + " ".join(
+        print(f"[val epoch {epoch}] ({tier} tier) " + " ".join(
             f"{k.split('/')[-1]}={v:.4f}" for k, v in out.items()))
         if self.swap_cb is not None:
             try:
@@ -947,7 +959,8 @@ def main(argv=None):
                           opt.check_val_every_n_epoch
                           or trainer_cfg.get("check_val_every_n_epoch", 1)),
                       device_data=opt.device_data,
-                      cache_latents=opt.cache_latents)
+                      cache_latents=opt.cache_latents,
+                      full_val_metrics=opt.full_val_metrics)
     if opt.resume_ckpt and not ckpt:
         ckpt = opt.resume_ckpt
     if ckpt:

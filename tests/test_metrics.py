@@ -157,6 +157,25 @@ def test_eval_driver_writes_json(tmp_path):
     assert (tmp_path / "123.json").exists()
 
 
+def test_eval_driver_fast_budget(tmp_path):
+    """fast tier: 20-round GBT on 2.5k probes still scores an identity
+    representation near-perfect, and the JSON is tagged with the budget."""
+    import json
+
+    from encdiff_tpu.evalx.eval_driver import eval_func
+
+    data = Shapes3D()
+    # identity representation: the decoded factor values as the codes
+    reps = np.stack(np.unravel_index(np.arange(data.N), data.factor_sizes),
+                    axis=1).astype(np.float64)
+    vd = eval_func(data, reps, str(tmp_path), 7, metrics=("dci",),
+                   budget="fast")
+    assert vd["dci"]["dci_budget"] == "fast"
+    assert vd["dci"]["disentanglement"] > 0.95
+    saved = json.loads((tmp_path / "7.json").read_text())
+    assert saved["dci"]["dci_budget"] == "fast"
+
+
 def test_metric_registry_on_perfect_representation():
     """evaluate_representation: every fast metric near-perfect on the
     factors themselves (synthetic_shapes index dataset)."""
