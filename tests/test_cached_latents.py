@@ -115,3 +115,36 @@ def test_epoch_step_with_cache_matches_plain(bits):
     d = jax.tree.map(lambda a, b: float(np.abs(np.asarray(a - b)).max()),
                      s1.params, s2.params)
     assert max(jax.tree_util.tree_leaves(d)) < 1e-5
+
+
+def test_ddim_sample_with_bf16_weights(bits):
+    """BENCH_BF16_PARAMS path: the full sample_fn (cond encode -> warp ->
+    DDIM scan -> VQ decode) runs with every float leaf cast to bf16 and
+    returns finite images (the byte-halving sampler mode)."""
+    import jax
+    import jax.numpy as jnp
+
+    from encdiff_tpu.core.schedules import DDIMSchedule
+    from encdiff_tpu.diffusion import ddim as ddim_lib
+
+    model, _, state, frozen, batch = bits
+    cast = lambda t: jax.tree.map(
+        lambda p: p.astype(jnp.bfloat16)
+        if jnp.issubdtype(p.dtype, jnp.floating) else p, t)
+    unet_p = cast(state.params["unet"])
+    cvars = cast({"params": state.params["cond"],
+                  "batch_stats": state.batch_stats})
+    fs_vars = cast(frozen["first_stage"])
+    dsched = DDIMSchedule.create(model.schedule, 4, eta=1.0)
+
+    x = jnp.asarray(batch).astype(jnp.float32) / 127.5 - 1.0
+    u = model.cond_encoding(cvars, x)
+    tokens = model.cond_warp(cvars, u)
+    if tokens.ndim == 3:
+        tokens = tokens.reshape(tokens.shape[0], -1)
+    shape = (x.shape[0], model.image_size, model.image_size, model.channels)
+    denoise = lambda z, t: model.apply_model({"params": unet_p}, z, t, tokens)
+    z, _ = ddim_lib.ddim_sample(dsched, denoise, shape, jax.random.PRNGKey(3))
+    img = model.decode_first_stage(fs_vars, z, scale_factor=1.0)
+    assert img.shape[0] == x.shape[0]
+    assert bool(jnp.isfinite(img.astype(jnp.float32)).all())
