@@ -49,6 +49,18 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=23)
     p.add_argument("--only", default=None,
                    help="run a single lambda from the list (sweep fan-out)")
+    p.add_argument("--batch_size", type=int, default=None,
+                   help="override data.params.batch_size: the double-grad "
+                        "types (fisher_sm Hutchinson) need ~2x the HLO-temp "
+                        "HBM of the single-grad step and OOM at bs=128 on "
+                        "one 16G chip — run them at bs=64 with --accum 2 "
+                        "(same effective batch and scaled LR)")
+    p.add_argument("--accum", type=int, default=None,
+                   help="override --accumulate_grad_batches")
+    p.add_argument("--skip_finale", action="store_true",
+                   help="skip the winner full-protocol re-score (used when "
+                        "re-running individual failed cells after the main "
+                        "matrix already scored its winner)")
     opt = p.parse_args(argv)
 
     from encdiff_tpu.train import harness
@@ -91,6 +103,10 @@ def main(argv=None):
                             f"ckpt_path={opt.vq_ckpt}")
         if opt.val_batches:
             argv_run += ["--val_batches", str(opt.val_batches)]
+        if opt.batch_size:
+            argv_run.append(f"data.params.batch_size={opt.batch_size}")
+        if opt.accum:
+            argv_run += ["--accumulate_grad_batches", str(opt.accum)]
         try:
             trainer = harness.main(["--no-test", "true"] + argv_run +
                                    ["--resume_ckpt", opt.ckpt])
@@ -117,6 +133,8 @@ def main(argv=None):
     # number is protocol-comparable.
     scored = [r for r in rows if r.get("val/dci_disentanglement")
               not in (None, "") and r.get("logdir")]
+    if opt.skip_finale:
+        scored = []
     if scored:
         best = max(scored,
                    key=lambda r: float(r["val/dci_disentanglement"]))

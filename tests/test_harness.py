@@ -252,3 +252,49 @@ def test_mcl_sweep_resume_skips_completed_cells(tmp_path, monkeypatch):
     by_cell = {(r["mcl_type"], float(r["lambda"])): r for r in rows}
     assert by_cell[("nce_logistic", 0.01)]["val/dci_disentanglement"] == "0.83"
     assert by_cell[("fisher_sm", 0.01)]["val/dci_disentanglement"] == 0.9
+
+
+def test_mcl_sweep_batch_override_and_skip_finale(tmp_path, monkeypatch):
+    """The fisher_sm retry path (round 3): --batch_size/--accum must reach
+    the harness argv (the Hutchinson grad-of-grad step needs a smaller
+    per-dispatch batch on one chip), and --skip_finale must suppress the
+    winner full-protocol re-score when re-running individual failed cells."""
+    import importlib.util
+    import sys
+    import types
+
+    spec = importlib.util.spec_from_file_location(
+        "run_mcl_sweep", "scripts/run_mcl_sweep.py")
+    sweep = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sweep)
+
+    ran = []
+
+    class _FakeTrainer:
+        last_val_metrics = {"val/dci_disentanglement": 0.9}
+        logdir = str(tmp_path / "cellrun")
+
+    fake_harness = types.SimpleNamespace(
+        main=lambda argv: ran.append(argv) or _FakeTrainer())
+    fake_train = types.ModuleType("encdiff_tpu.train")
+    fake_train.harness = fake_harness
+    monkeypatch.setitem(sys.modules, "encdiff_tpu.train", fake_train)
+    monkeypatch.setitem(sys.modules, "encdiff_tpu.train.harness",
+                        types.ModuleType("encdiff_tpu.train.harness"))
+    sys.modules["encdiff_tpu.train.harness"].main = fake_harness.main
+
+    common = ["--base", "b.yaml", "--ckpt", "c", "--mcl_types", "fisher_sm",
+              "--lambdas", "0.01", "--batch_size", "64", "--accum", "2"]
+
+    sweep.main(common + ["-l", str(tmp_path / "a"), "--skip_finale"])
+    # one cell run, no finale run (finale argv starts with "-r")
+    assert len(ran) == 1
+    assert "data.params.batch_size=64" in ran[0]
+    i = ran[0].index("--accumulate_grad_batches")
+    assert ran[0][i + 1] == "2"
+    assert "-r" not in ran[0]
+
+    ran.clear()
+    sweep.main(common + ["-l", str(tmp_path / "b")])
+    # without --skip_finale the winner is re-scored via harness.main(["-r"...])
+    assert len(ran) == 2 and ran[1][0] == "-r"
