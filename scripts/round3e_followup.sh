@@ -45,18 +45,26 @@ sys.exit(0 if ok else 1)
 EOF
 }
 
+# Attempt 1 runs WITHOUT --skip_finale: after the fisher cells land, the
+# sweep's finale re-scores the best cell of the WHOLE updated matrix with
+# the full reference protocol (test(), 10k/5k GBT) — the round-3 headline
+# MCL number.  The bs=32 fallback skips the finale (already scored).
+FINALE=""
 for BSAC in "64 2" "32 4"; do
   set -- $BSAC
   echo "[followup] fisher_sm retry at bs=$1 accum=$2 $(date -u +%H:%M:%S)"
-  timeout 5400 python scripts/run_mcl_sweep.py \
+  timeout 7200 python scripts/run_mcl_sweep.py \
     --base configs/demo/synthetic-shapes-v3-full-encdiff.yaml \
     --ckpt "$BEST" --vq_ckpt "$V3VQ/checkpoints/last" \
     --mcl_types fisher_sm --lambdas 0.01,0.05 --max_epochs 1 \
-    -l runs_mcl_v3 --batch_size "$1" --accum "$2" --skip_finale
+    -l runs_mcl_v3 --batch_size "$1" --accum "$2" $FINALE
+  FINALE="--skip_finale"
   if check_ok; then echo "[followup] fisher_sm cells green"; break; fi
   echo "[followup] still failing at bs=$1"
 done
 
 cp runs_mcl_v3/mcl_sweep.csv demo_artifacts/round3/mcl_sweep.csv
+cp runs_mcl_v3/mcl_best_full_protocol.json \
+   demo_artifacts/round3/mcl_best_full_protocol.json 2>/dev/null || true
 touch runs_r3d/markers/fisher_retry.done
 echo "[followup] done $(date -u +%H:%M:%S)"
