@@ -51,24 +51,32 @@ class ResnetBlock(nn.Module):
 
 class AttnBlock(nn.Module):
     """Single-head full self-attention over spatial positions
-    (model.py:150-202); 1x1-conv q/k/v, fp32 softmax."""
+    (model.py:150-202); 1x1-conv q/k/v, fp32 softmax.
+
+    Routed through the shared ``nn.attention.attention`` helper so the
+    blockwise flash kernel takes over at large N: a 256px encoder has a
+    64x64 bottleneck (4096 tokens) whose materialized fp32 scores are
+    67 MB *per image* — one chunked dataset-encode at chunk=2048 tried to
+    allocate f32[2048,4096,4096] = 137 GB and failed HBM planning (round-3
+    faces pipeline). Flash keeps the score tiles in VMEM, O(N·C) HBM."""
 
     in_channels: int
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        from encdiff_tpu.nn.attention import attention
+
         b, hgt, wid, c = x.shape
         h = GroupNorm(32, epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         q = TorchConv(c, 1, dtype=self.dtype, name="q")(h).reshape(b, hgt * wid, c)
         k = TorchConv(c, 1, dtype=self.dtype, name="k")(h).reshape(b, hgt * wid, c)
         v = TorchConv(c, 1, dtype=self.dtype, name="v")(h).reshape(b, hgt * wid, c)
-        sim = jnp.einsum("bic,bjc->bij", q, k,
-                         preferred_element_type=jnp.float32) * (c ** -0.5)
-        attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1).astype(x.dtype)
-        out = jnp.einsum("bij,bjc->bic", attn, v,
-                         preferred_element_type=jnp.float32).astype(x.dtype)
-        out = out.reshape(b, hgt, wid, c)
+        # single head: (B, N, C) -> (B, 1, N, C); identical math to the
+        # reference einsum chain (fp32 softmax inside the helper)
+        out, _ = attention(q[:, None], k[:, None], v[:, None],
+                           scale=c ** -0.5)
+        out = out[:, 0].reshape(b, hgt, wid, c).astype(x.dtype)
         out = TorchConv(c, 1, dtype=self.dtype, name="proj_out")(out)
         return x + out
 

@@ -87,9 +87,15 @@ def precompute_latents(model, frozen, images_dev, chunk: int = 2048):
     so every dispatch has static shapes.
     """
     n, d = images_dev.shape
-    chunk = int(min(chunk, n))
     side = round(float(np.sqrt(d // 3)))
     assert side * side * 3 == d, images_dev.shape
+    # Encoder activations scale with side^2 (first-conv fp32 activations are
+    # side*side*ch*4 per image); chunk=2048 is proven at 64px, so shrink
+    # quadratically for larger inputs (256px -> 128/chunk) to keep the
+    # one-time encode inside single-chip HBM.
+    if side > 64:
+        chunk = max(64, int(chunk * (64.0 / side) ** 2))
+    chunk = int(min(chunk, n))
     is_int = jnp.issubdtype(images_dev.dtype, jnp.integer)
 
     hwc_box = []

@@ -231,3 +231,28 @@ def test_flash_attention_grads_match_reference():
     for a, b_ in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_vae_attnblock_flash_routing_matches_einsum(monkeypatch):
+    """VAE mid-block AttnBlock at N>=1024 routes through the flash kernel
+    (round-3 fix: the einsum path materialized f32[B,4096,4096] scores and
+    failed HBM planning on 256px encodes). Interpret-mode flash output must
+    match the plain-einsum path on the same params."""
+    import jax
+    import jax.numpy as jnp
+
+    from encdiff_tpu.nn.vae import AttnBlock
+
+    rs = np.random.RandomState(3)
+    x = jnp.asarray(rs.randn(1, 32, 32, 64).astype(np.float32))  # N=1024
+    blk = AttnBlock(in_channels=64)
+
+    monkeypatch.setenv("ENCDIFF_PALLAS", "off")
+    variables = blk.init(jax.random.PRNGKey(0), x)
+    out_einsum = np.asarray(blk.apply(variables, x))
+
+    monkeypatch.setenv("ENCDIFF_PALLAS", "interpret")
+    out_flash = np.asarray(blk.apply(variables, x))
+
+    assert not np.allclose(out_einsum, 0)
+    np.testing.assert_allclose(out_flash, out_einsum, rtol=2e-5, atol=2e-5)
