@@ -115,10 +115,13 @@ def precompute_latents(model, frozen, images_dev, chunk: int = 2048):
         starts.append(n - chunk)  # overlapping final chunk, trimmed below
     parts = []
     prev_end = 0
-    for s in starts:
+    for i, s in enumerate(starts):
         zc = enc(frozen["first_stage"], images_dev, jnp.int32(s))
         parts.append(zc[prev_end - s:] if s < prev_end else zc)
         prev_end = s + chunk
+        if i % 50 == 0:  # keep stall watchdogs fed on long chunked encodes
+            print(f"[precompute_latents] chunk {i + 1}/{len(starts)}",
+                  flush=True)
     z_flat = jnp.concatenate(parts, axis=0)
     assert z_flat.shape[0] == n, (z_flat.shape, n)
     return {"image": images_dev, "z": z_flat}, hwc_box[0]
