@@ -171,6 +171,15 @@ def _flash_core_fwd(q, k, v, scale, block_q, block_k, interpret):
 def _flash_core_bwd(scale, block_q, block_k, interpret, res, do):
     q, k, v, o, lse = res
     bh, n, d = q.shape
+    # The bwd kernels hold 4 (block_q, block_k) f32 temporaries (s/p/dp/ds)
+    # on the Mosaic scoped-VMEM stack *on top of* the pipelined full-length
+    # q/do blocks. At d=128/N=4096 the 512x512 tiles blow the default 16 MB
+    # scoped limit (observed: 18 MB on v5e). Smaller tiles cost nothing
+    # measurable here (the kernels are MXU-bound on the d-contraction), so
+    # clamp to 256 and give the compiler explicit VMEM headroom.
+    block_q = min(block_q, 256)
+    block_k = min(block_k, 256)
+    bwd_params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
     delta = jnp.broadcast_to(
         jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
                 axis=-1, keepdims=True), (bh, n, 8))      # lane-legal
@@ -195,6 +204,7 @@ def _flash_core_bwd(scale, block_q, block_k, interpret, res, do):
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
+        compiler_params=bwd_params,
         interpret=interpret,
     )(q, k, v, do, lse, delta)
 
@@ -225,6 +235,7 @@ def _flash_core_bwd(scale, block_q, block_k, interpret, res, do):
             jax.ShapeDtypeStruct((bh, n, d), q.dtype),
             jax.ShapeDtypeStruct((bh, n, d), q.dtype),
         ],
+        compiler_params=bwd_params,
         interpret=interpret,
     )(q, k, v, do, lse, delta)
     return dq, dk, dv
