@@ -193,6 +193,8 @@ class VQModel:
                  sane_index_shape=False, use_ema=False,
                  use_disentangled_concat=False, disentangled_dim=0,
                  dtype=jnp.float32):
+        from encdiff_tpu.nn.layers import as_dtype
+        dtype = as_dtype(dtype)
         del remap, sane_index_shape, colorize_nlabels, batch_resize_range
         self.ddconfig = dict(ddconfig)
         self.lossconfig = lossconfig
@@ -317,6 +319,8 @@ class AutoencoderKL:
     def __init__(self, ddconfig, lossconfig=None, embed_dim=4, ckpt_path=None,
                  ignore_keys=(), image_key="image", colorize_nlabels=None,
                  monitor=None, dtype=jnp.float32):
+        from encdiff_tpu.nn.layers import as_dtype
+        dtype = as_dtype(dtype)
         del colorize_nlabels
         self.ddconfig = dict(ddconfig)
         self.embed_dim = embed_dim

@@ -61,6 +61,8 @@ class DDPM:
                  use_positional_encodings=False, learn_logvar=False,
                  logvar_init=0.0, eval_name=None, dtype=jnp.float32):
         assert parameterization in ("eps", "x0")
+        from encdiff_tpu.nn.layers import as_dtype
+        dtype = as_dtype(dtype)
         self.parameterization = parameterization
         self.clip_denoised = clip_denoised
         self.log_every_t = log_every_t

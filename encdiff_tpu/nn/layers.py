@@ -27,8 +27,25 @@ Dtype = Any
 __all__ = [
     "TorchConv", "GroupNorm", "timestep_embedding", "zero_init",
     "nonlinearity", "torch_linear_init", "TorchDense", "avg_pool_2x",
-    "upsample_nearest_2x",
+    "upsample_nearest_2x", "as_dtype",
 ]
+
+_DTYPE_NAMES = {
+    "float32": jnp.float32, "fp32": jnp.float32,
+    "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
+    "float16": jnp.float16, "fp16": jnp.float16,
+}
+
+
+def as_dtype(dtype):
+    """Accept YAML string dtype names ('bfloat16') alongside jnp dtypes.
+
+    Model __init__s take a ``dtype`` that bench.py passes as a jnp dtype
+    object; configs can only carry strings, so normalize here.
+    """
+    if isinstance(dtype, str):
+        return _DTYPE_NAMES[dtype]
+    return dtype
 
 
 def zero_init():
