@@ -42,6 +42,29 @@ def swap_conditions(u: jnp.ndarray) -> jnp.ndarray:
     return base * (1 - eye) + donor * eye
 
 
+def _decode_chunked(model, fs_vars, z, sf, px_budget: int = 2 ** 21):
+    """decode_first_stage in fixed-size chunks.
+
+    The all-factor swap batch is U*B (160 at the default N=8); at 256px
+    output a single decode of that batch needs more activation HBM than a
+    v5e has free mid-training (observed RESOURCE_EXHAUSTED at the step-10k
+    image log of the faces run). Chunk so each decode touches at most
+    ``px_budget`` output pixels (2M -> 32 images at 256px, 512 at 64px —
+    i.e. small configs stay unchunked, one compiled program).
+    """
+    out_side = int(getattr(model.first_stage_model, "ddconfig", {}).get(
+        "resolution", z.shape[1] * 4))
+    chunk = max(1, px_budget // (out_side * out_side))
+    n = z.shape[0]
+    if n <= chunk:
+        return np.asarray(model.decode_first_stage(fs_vars, z,
+                                                   scale_factor=sf))
+    outs = [np.asarray(model.decode_first_stage(fs_vars, z[i:i + chunk],
+                                                scale_factor=sf))
+            for i in range(0, n, chunk)]
+    return np.concatenate(outs, axis=0)
+
+
 def swap_sample(model, variables, images, rng, ddim_steps: int = 200,
                 eta: float = 1.0, use_ema: bool = True):
     """All-factor latent-swap generation in ONE DDIM run.
@@ -65,8 +88,8 @@ def swap_sample(model, variables, images, rng, ddim_steps: int = 200,
     samples, _ = ddim_lib.ddim_sample(dsched, denoise, shape, rng)
     # decode WITHOUT disentangled_repr: concat channels zero-filled —
     # deliberate reference semantics (autoencoder.py:355-357, SURVEY.md §2.5)
-    x = model.decode_first_stage(variables["first_stage"], samples,
-                                 scale_factor=float(model.scale_factor))
+    x = _decode_chunked(model, variables["first_stage"], samples,
+                        float(model.scale_factor))
     return x
 
 

@@ -208,6 +208,11 @@ class ModelCheckpoint:
             save_fn(path)
             return
         if self.monitor not in metrics:
+            # Still honor save_last: runs whose monitor never shows up in
+            # val metrics (e.g. a train-loss monitor with eval_name null,
+            # the 256px faces config) must checkpoint for resume-on-retry.
+            if self.save_last:
+                save_fn(os.path.join(self.dirpath, "last"))
             return
         score = float(metrics[self.monitor])
         sign = 1.0 if self.mode == "max" else -1.0

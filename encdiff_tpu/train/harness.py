@@ -481,9 +481,16 @@ class Trainer:
                         if use_dev_data:
                             idx = np.asarray(jax.device_get(batch))[:16]
                             log_batch = images_host[np.asarray(idx, np.int64)]
-                        self.image_logger.maybe_log(
-                            step, "train", self._log_images_fn(), log_batch,
-                            metrics=lambda: jax.device_get(metrics))
+                        try:
+                            self.image_logger.maybe_log(
+                                step, "train", self._log_images_fn(),
+                                log_batch,
+                                metrics=lambda: jax.device_get(metrics))
+                        except Exception as e:  # noqa: BLE001
+                            # An image-log failure (e.g. a sampling-branch
+                            # HBM spike) must not kill an hours-long run.
+                            print(f"[harness] image log failed at step "
+                                  f"{step}: {type(e).__name__}: {e}")
                     for ck in self.checkpoints:
                         if ck.every_n_train_steps:
                             ck.maybe_save(self.save_checkpoint, step, epoch)

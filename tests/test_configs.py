@@ -41,6 +41,27 @@ def test_config_instantiates(path):
             assert get_obj_from_str(sub["target"]) is not None
 
 
+def test_string_dtype_normalized():
+    """YAML can only carry dtype as a string ('bfloat16'); model __init__s
+    normalize it to a jnp dtype (nn/layers.py as_dtype) so flax modules and
+    jnp.issubdtype checks see a real dtype object."""
+    import jax.numpy as jnp
+
+    from encdiff_tpu.core.config import instantiate_from_config, to_plain
+    from encdiff_tpu.core.yamlcfg import OmegaConf
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "configs", "demo",
+        "synthetic-faces-encdiff.yaml")
+    mc = to_plain(OmegaConf.load(path)["model"])
+    assert mc["params"]["dtype"] == "bfloat16"  # stays a string in YAML
+    model = instantiate_from_config(
+        {"target": mc["target"], "params": mc["params"]})
+    assert model.dtype == jnp.bfloat16
+    assert model.unet.dtype == jnp.bfloat16
+    assert model.first_stage_model.module.dtype == jnp.bfloat16
+
+
 def test_reference_config_aliases_resolve():
     """The reference's own YAML (ldm.* / main.* targets) instantiates via
     the alias registry — the drop-in compatibility promise (SURVEY.md H11)."""
