@@ -83,14 +83,32 @@ def swap_sample(model, variables, images, rng, ddim_steps: int = 200,
 
     unet_vars = _unet_vars(variables, use_ema)
     dsched = DDIMSchedule.create(model.schedule, ddim_steps, eta=eta)
-    shape = (n_units * b, model.image_size, model.image_size, model.channels)
-    denoise = lambda x, t: model.apply_model(unet_vars, x, t, tokens)
-    samples, _ = ddim_lib.ddim_sample(dsched, denoise, shape, rng)
-    # decode WITHOUT disentangled_repr: concat channels zero-filled —
-    # deliberate reference semantics (autoencoder.py:355-357, SURVEY.md §2.5)
-    x = _decode_chunked(model, variables["first_stage"], samples,
-                        float(model.scale_factor))
-    return x
+
+    # Chunk the folded (U*B) batch by token budget: at 64x64 latents the
+    # 4096-token flash self-attention materializes ~1.3 GB q/k/v/o buffers
+    # per layer at U*B=160, which OOMs mid-training alongside the resident
+    # dataset/optimizer (and a failed sampling program poisons the queued
+    # train step). 2^17 token budget -> 32-sample chunks at 4096 tokens;
+    # 16x16-latent configs (256 tokens) stay one fold (chunk=512).
+    n_tokens = model.image_size * model.image_size
+    chunk = max(1, 2 ** 17 // n_tokens)
+    total = n_units * b
+
+    def run_chunk(tok_c, rng_c, nb):
+        shape = (nb, model.image_size, model.image_size, model.channels)
+        denoise = lambda x, t: model.apply_model(unet_vars, x, t, tok_c)
+        samples, _ = ddim_lib.ddim_sample(dsched, denoise, shape, rng_c)
+        # decode WITHOUT disentangled_repr: concat channels zero-filled —
+        # deliberate reference semantics (autoencoder.py:355-357, §2.5)
+        return _decode_chunked(model, variables["first_stage"], samples,
+                               float(model.scale_factor))
+
+    if total <= chunk:
+        return run_chunk(tokens, rng, total)
+    outs = [run_chunk(tokens[i:i + chunk], jax.random.fold_in(rng, i),
+                      min(chunk, total - i))
+            for i in range(0, total, chunk)]
+    return np.concatenate(outs, axis=0)
 
 
 def log_images(model, variables, batch, N: int = 8, n_row: int = 4,
