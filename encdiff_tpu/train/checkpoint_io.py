@@ -32,21 +32,23 @@ def load_model_variables(model, path: str) -> tuple[dict, float]:
         return out, float(model.scale_factor)
 
     from encdiff_tpu.core.checkpoints import restore_pytree
-    from encdiff_tpu.train import loop as train_loop
 
-    optimizer = train_loop.build_optimizer(model, learning_rate=1e-4)
-    state, frozen = train_loop.create_train_state(
-        model, jax.random.PRNGKey(0), optimizer)
-    tree = restore_pytree(os.path.abspath(path),
-                          {"state": jax.device_get(state),
-                           "frozen": jax.device_get(frozen)})
+    # Restore WITHOUT an abstract target tree: eval scripts only need the
+    # model subtrees, and reconstructing the optimizer to build a target
+    # breaks whenever the run's optimizer topology differs from the default
+    # (e.g. accumulate_grad_batches wraps AdamW in optax.MultiSteps, whose
+    # opt_state has a different pytree structure). Orbax reconstructs the
+    # saved topology from its own metadata; NamedTuples (TrainState,
+    # MultiStepsState) come back as dicts keyed by field name.
+    tree = restore_pytree(os.path.abspath(path))
     state = tree["state"]
     frozen = tree["frozen"]
+    ema = state.get("ema")
     variables = {
-        "unet": {"params": state.params["unet"]},
-        "cond": {"params": state.params["cond"],
-                 "batch_stats": state.batch_stats},
+        "unet": {"params": state["params"]["unet"]},
+        "cond": {"params": state["params"]["cond"],
+                 "batch_stats": state.get("batch_stats") or {}},
         "first_stage": frozen["first_stage"],
-        "ema": state.ema.params if state.ema is not None else None,
+        "ema": ema["params"] if isinstance(ema, dict) else None,
     }
-    return variables, float(np.asarray(state.scale_factor))
+    return variables, float(np.asarray(state["scale_factor"]))

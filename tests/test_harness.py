@@ -94,6 +94,40 @@ def test_harness_end_to_end(tmp_path):
     assert np.isclose(trainer.learning_rate, 8 * 8 * 1e-4)
 
 
+@pytest.mark.slow
+def test_checkpoint_loads_for_eval_with_grad_accum(tmp_path):
+    """Eval-side checkpoint loading must not depend on the run's optimizer
+    topology: accumulate_grad_batches wraps AdamW in optax.MultiSteps, whose
+    opt_state pytree differs from the plain optimizer's — regression for the
+    round-3 faces eval failure (restore with a mismatched abstract tree)."""
+    import jax.numpy as jnp
+
+    from encdiff_tpu.core.config import instantiate_from_config, to_plain
+    from encdiff_tpu.core.yamlcfg import OmegaConf
+    from encdiff_tpu.train import harness
+    from encdiff_tpu.train.checkpoint_io import load_model_variables
+
+    cfg_path = _tiny_cfg(str(tmp_path))
+    logdir = os.path.join(str(tmp_path), "logs")
+    trainer = harness.main([
+        "-b", cfg_path, "-t", "true", "--max_steps", "2",
+        "-l", logdir, "-s", "7", "--accumulate_grad_batches", "2"])
+    ckpt = os.path.join(trainer.logdir, "checkpoints", "last")
+    assert os.path.isdir(ckpt)
+
+    model_cfg = to_plain(OmegaConf.load(cfg_path)["model"])
+    model = instantiate_from_config(
+        {"target": model_cfg["target"], "params": model_cfg["params"]})
+    variables, scale_factor = load_model_variables(model, ckpt)
+    assert scale_factor > 0
+    assert variables["unet"]["params"]
+    assert variables["ema"] is not None
+    cond_vars = {"params": variables["cond"]["params"],
+                 "batch_stats": variables["cond"]["batch_stats"]}
+    u = model.cond_encoding(cond_vars, jnp.zeros((2, 16, 16, 3)))
+    assert u.shape[0] == 2 and jnp.isfinite(u).all()
+
+
 def test_token_num_rewiring(tmp_path):
     from encdiff_tpu.train.harness import apply_token_num, load_configs
 
