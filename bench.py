@@ -98,6 +98,12 @@ def main():
     cfg = _flagship_config()
     cfg["params"]["unet_config"]["params"]["dtype"] = dtype
     cfg["params"]["first_stage_config"]["params"]["dtype"] = dtype
+    if os.environ.get("BENCH_REMAT", "0") == "1":
+        # Rematerialize the denoiser in the backward pass. The train step
+        # measures HBM-bound (train_hbm_frac ~1.0+, BENCH_NOTES round 3), so
+        # trading saved-activation traffic for recompute FLOPs (which the 14%-
+        # MFU MXU has idle capacity for) is the remaining bandwidth lever.
+        cfg["params"]["unet_config"]["params"]["use_checkpoint"] = True
     model = instantiate_from_config(cfg, dtype=dtype)
     optimizer = train_loop.build_optimizer(model, learning_rate=1e-4)
     state, frozen = train_loop.create_train_state(

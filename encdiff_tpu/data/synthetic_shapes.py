@@ -315,6 +315,136 @@ def render_all_v3(size: int = 64, horizon: float = 0.55,
     return out
 
 
+def render_all_v4(size: int = 64, horizon: float = 0.55,
+                  factor_sizes=None) -> np.ndarray:
+    """Shapes3D-faithful renderer, fourth generation: v3 + scale/shape
+    decoupling inside the object region.
+
+    The v3 480k run's DCI importance matrix (demo_artifacts/round3/v3_run)
+    shows the ONLY residually entangled codes are scale<->shape mixtures
+    (codes at 0.86/0.12, 0.90/0.10, 0.66/0.33 splits; every other code is
+    >=0.98 pure). Cause: with flat-filled silhouettes, the single most
+    informative object statistic — covered area — depends on *both* scale
+    (radius) and shape (square 4r^2 vs triangle 2r^2 ...), so codes that
+    track area are inherently mixed. Real ray-traced Shapes3D separates the
+    pair with interior shading: a sphere's radial falloff looks nothing like
+    a cube's flat facets at any size. v4 adds exactly the two object-local
+    cues, touching no floor/wall/orientation pixels:
+
+    - **equal-area shape family**: per-shape radius rescale so every shape
+      covers the same pixel area at the same scale value — area becomes a
+      pure scale cue, boundary form a pure shape cue.
+    - **shape-specific interior shading** (rotates with the silhouette,
+      mean-normalized per mask so average brightness leaks neither factor):
+      square -> two flat facets, circle -> offset radial falloff (sphere),
+      triangle -> apex-to-base gradient (cone), diamond -> diagonal ramp.
+      Multiplicative on the object hue, so channel ratios (hue) stay exact.
+    """
+    fs = list(FACTOR_SIZES if factor_sizes is None else factor_sizes)
+    f_floor, f_wall, f_obj, f_scale, f_shape, f_orient = fs
+    n_images = int(np.prod(fs))
+    hy = int(size * horizon)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+
+    floor_colors = np.stack([_hue_rgb(i, f_floor) for i in range(f_floor)])
+    wall_colors = np.stack([_hue_rgb(i, f_wall, s=0.6, v=0.8)
+                            for i in range(f_wall)])
+    obj_colors = np.stack([_hue_rgb(i, f_obj, s=1.0, v=1.0)
+                           for i in range(f_obj)])
+
+    az = np.array([np.deg2rad(-30.0 + 60.0 * (o / max(f_orient - 1, 1)))
+                   for o in range(f_orient)], np.float32)
+    edge = 1.2  # px anti-aliasing width
+
+    # wall: two-tone corner whose x position tracks azimuth (as v3)
+    corner_x = size * (0.5 + 0.55 * np.sin(az))
+    wall_blend = np.clip(
+        (xx[None, :hy, :] - corner_x[:, None, None]) / edge + 0.5, 0.0, 1.0)
+    wall_shade_l, wall_shade_r = 0.8, 1.0
+    wall_mix = (wall_shade_l + (wall_shade_r - wall_shade_l)
+                * wall_blend)[..., None]
+
+    # equal-area radius multipliers: area(shape, k*r) == area(circle, r)
+    #   square (2kr)^2 = pi r^2, triangle 2(kr)^2 = pi r^2,
+    #   diamond 2(1.3kr)^2 = pi r^2
+    k_shape = [np.sqrt(np.pi) / 2.0,          # square  0.886
+               1.0,                            # circle
+               np.sqrt(np.pi / 2.0),           # triangle 1.253
+               np.sqrt(np.pi / 3.38)]          # diamond 0.964
+
+    # 0.57 vs v3's 0.62: the equal-area triangle is taller, and its rotated
+    # base corner plus the AA skirt must clear the bottom row even at max
+    # scale — y_max = cy + (cos+sin)(10.5deg)*k_tri*R + AA ~= cy + 1.46*R,
+    # which needs cy < 62.5 - 1.46*16.5 = 38.4 with margin.
+    cy = size * 0.57
+    n_geo = f_scale * f_shape * f_orient
+    alpha = np.empty((n_geo, size, size, 1), np.float32)
+    shade = np.empty((n_geo, size, size, 1), np.float32)
+    g = 0
+    for sc in range(f_scale):
+        # 8..16.5 px (vs v3's 8..17) and parallax 0.13 (vs 0.16): the
+        # equal-area rescale makes the triangle ~25% wider than v3's, and
+        # the extreme (max scale, triangle, |az|=30°) must stay fully inside
+        # the frame — a clipped silhouette would couple orientation into
+        # scale/shape, the exact interaction v4 removes.
+        base_r = 8.0 + 8.5 * (sc / max(f_scale - 1, 1))
+        for sh in range(f_shape):
+            r = base_r * k_shape[sh % 4]
+            for o in range(f_orient):
+                cx = size / 2.0 + size * 0.13 * np.sin(az[o])  # parallax
+                dx, dy = xx - cx, yy - cy
+                ang = 0.35 * az[o]
+                ca, sa = np.cos(ang), np.sin(ang)
+                rx, ry = ca * dx + sa * dy, -sa * dx + ca * dy
+                if sh % 4 == 0:    # square: Chebyshev signed distance
+                    d = np.maximum(np.abs(rx), np.abs(ry)) - r
+                    # cube facets: flat two-tone split along the (rotated)
+                    # vertical axis, AA seam
+                    s = 0.84 + 0.16 * np.clip(rx / edge + 0.5, 0.0, 1.0)
+                elif sh % 4 == 1:  # circle (sphere)
+                    d = np.sqrt(dx * dx + dy * dy) - r
+                    rr = np.sqrt((dx + 0.35 * r) ** 2
+                                 + (dy + 0.35 * r) ** 2) / max(r, 1.0)
+                    s = 1.05 - 0.28 * np.clip(rr, 0.0, 1.6)
+                elif sh % 4 == 2:  # triangle (cone): apex-to-base ramp
+                    d = 0.5 * np.maximum(np.abs(rx) * 2.0 - (ry + r),
+                                         np.abs(ry) - r)
+                    s = 1.04 - 0.26 * np.clip((ry + r) / (2.0 * r), 0.0, 1.0)
+                else:              # diamond: diagonal ramp
+                    d = (np.abs(rx) + np.abs(ry) - r * 1.3) * 0.7071
+                    s = 0.82 + 0.26 * np.clip(
+                        (rx + ry) / (2.6 * r) + 0.5, 0.0, 1.0)
+                a = np.clip(0.5 - d / edge, 0.0, 1.0)
+                alpha[g, :, :, 0] = a
+                # normalize mean interior brightness so neither scale nor
+                # shape leaks through average intensity
+                m = a > 0.5
+                mean_s = float(s[m].mean()) if m.any() else 1.0
+                shade[g, :, :, 0] = s * (0.92 / max(mean_s, 1e-6))
+                g += 1
+
+    geo_orient = (np.arange(n_geo) % f_orient)
+
+    out = np.empty((n_images, size, size, 3), np.uint8)
+    idx = 0
+    for fl in range(f_floor):
+        floor_rgb = np.broadcast_to(floor_colors[fl],
+                                    (size - hy, size, 3)).astype(np.float32)
+        for wa in range(f_wall):
+            wall_rgb = wall_mix * wall_colors[wa]
+            for ob in range(f_obj):
+                col = obj_colors[ob] * shade   # (n_geo, size, size, 3)
+                blk = np.empty((n_geo, size, size, 3), np.float32)
+                blk[:, :hy] = wall_rgb[geo_orient]
+                blk[:, hy:] = floor_rgb
+                blk = alpha * col + (1.0 - alpha) * blk
+                np.copyto(out[idx:idx + n_geo],
+                          np.clip(blk, 0, 255).astype(np.uint8))
+                idx += n_geo
+    assert idx == n_images
+    return out
+
+
 _CACHE: dict[tuple, np.ndarray] = {}
 
 
@@ -457,6 +587,42 @@ class SyntheticShapes3DV3Full(ArrayDataset):
 
 
 class SyntheticShapes3DV3FullTrain(SyntheticShapes3DV3Full):
+    pass
+
+
+class SyntheticShapes3DV4Full(ArrayDataset):
+    """The 480,000-image grid rendered by :func:`render_all_v4` (v3 plus
+    equal-area shapes and shape-specific interior shading — the targeted
+    scale/shape decoupling cell of the round-3 renderer experiment). Same
+    factor structure as :class:`SyntheticShapes3DFull`; pairs with
+    ``eval_name: synthetic_shapes_full``. Disk-cached under
+    ``$ENCDIFF_DATA_CACHE`` (default ``/tmp/encdiff_cache``)."""
+
+    factor_sizes = FULL_FACTOR_SIZES
+
+    def __init__(self, image_size: int = 64, **kwargs):
+        del kwargs
+        key = ("v4", image_size, tuple(self.factor_sizes))
+        if key not in _CACHE:
+            import os
+
+            cache_dir = os.environ.get("ENCDIFF_DATA_CACHE",
+                                       "/tmp/encdiff_cache")
+            tag = "x".join(map(str, self.factor_sizes))
+            path = os.path.join(cache_dir, f"shapes3d_v4_{image_size}_"
+                                           f"{tag}.npy")
+            if os.path.exists(path):
+                _CACHE[key] = np.load(path, mmap_mode="r")
+            else:
+                arr = render_all_v4(image_size,
+                                    factor_sizes=self.factor_sizes)
+                os.makedirs(cache_dir, exist_ok=True)
+                np.save(path, arr)
+                _CACHE[key] = arr
+        super().__init__(_CACHE[key], with_idx=True)
+
+
+class SyntheticShapes3DV4FullTrain(SyntheticShapes3DV4Full):
     pass
 
 

@@ -349,6 +349,89 @@ def test_synthetic_v3_factor_layout():
         assert iou < 0.8, (o, iou)
 
 
+def test_synthetic_v4_scale_shape_decoupling():
+    """v4 renderer: the targeted scale/shape decoupling on top of v3 —
+    equal pixel area across shapes at fixed scale (area = pure scale cue),
+    shape-specific interior shading with mean-normalized brightness (shape
+    cue that leaks neither scale nor hue), and v3's background behavior
+    (flat floor, wall hue above the horizon only) preserved."""
+    import numpy as np
+
+    from encdiff_tpu.data.synthetic_shapes import render_all_v4
+
+    fs = [3, 3, 3, 2, 4, 5]
+    bases = np.concatenate([np.cumprod(fs[::-1])[::-1][1:], [1]])
+    size = 64
+    hy = int(size * 0.55)
+    v4 = render_all_v4(size, factor_sizes=fs)
+    assert v4.shape == (int(np.prod(fs)), size, size, 3)
+
+    # v3 invariants carried over
+    d_floor = np.where((v4[0] != v4[int(bases[0])]).any(axis=(1, 2)))[0]
+    assert d_floor.min() >= hy
+    d_wall = np.where((v4[0] != v4[int(bases[1])]).any(axis=(1, 2)))[0]
+    assert d_wall.max() < hy
+    floor_px = v4[0, hy + 2:, :4, :].reshape(-1, 3)
+    assert (floor_px == floor_px[0]).all()
+
+    def obj_mask(base_idx):
+        return (v4[base_idx] != v4[base_idx + int(bases[2])]).any(axis=2)
+
+    # equal-area family: all 4 shapes cover the same pixel area at a fixed
+    # scale (within AA tolerance), and area still grows with scale
+    areas = [obj_mask(int(bases[4]) * sh).sum() for sh in range(fs[4])]
+    assert max(areas) / min(areas) < 1.12, areas
+    big = obj_mask(int(bases[3])).sum()
+    assert big > 1.5 * areas[0], (big, areas[0])
+
+    # interior shading distinguishes shapes at ANY size: the per-shape
+    # brightness pattern inside the mask is non-flat for every shape except
+    # none (each shape has an interior gradient or facet split)
+    for sh in range(fs[4]):
+        img = v4[int(bases[4]) * sh].astype(np.float32)
+        m = obj_mask(int(bases[4]) * sh)
+        # erode 2px border to drop AA edge pixels
+        interior = m.copy()
+        interior[:-2] &= m[2:]
+        interior[2:] &= m[:-2]
+        interior[:, :-2] &= m[:, 2:]
+        interior[:, 2:] &= m[:, :-2]
+        lum = img.sum(axis=2)[interior]
+        assert lum.std() > 2.0, (sh, lum.std())
+
+    # mean interior brightness is (near-)equal across shapes and scales —
+    # average intensity leaks neither factor
+    means = []
+    for sc in range(fs[3]):
+        for sh in range(fs[4]):
+            i0 = int(bases[3]) * sc + int(bases[4]) * sh
+            m = obj_mask(i0)
+            means.append(v4[i0].astype(np.float32).sum(axis=2)[m].mean())
+    assert (max(means) - min(means)) / np.mean(means) < 0.08, means
+
+    # no silhouette ever touches the frame border (a clipped object would
+    # couple orientation into scale/shape — the interaction v4 removes);
+    # the test grid reaches the max radius (scale idx / (n-1) = 1) and the
+    # extreme azimuths, so the worst case is covered
+    for sc in range(fs[3]):
+        for sh in range(fs[4]):
+            for o in range(fs[5]):
+                m = obj_mask(int(bases[3]) * sc + int(bases[4]) * sh
+                             + int(bases[5]) * o)
+                assert not m[0].any() and not m[-1].any(), (sc, sh, o)
+                assert not m[:, 0].any() and not m[:, -1].any(), (sc, sh, o)
+
+    # shading is multiplicative: object hue ordering (channel ratios) is
+    # preserved — the argmax color channel inside the object matches the
+    # flat-lit v3 hue for every object hue value
+    from encdiff_tpu.data.synthetic_shapes import _hue_rgb
+    for ob in range(fs[2]):
+        img = v4[int(bases[2]) * ob].astype(np.float32)
+        m = obj_mask(0)
+        mean_rgb = img[m].mean(axis=0)
+        assert mean_rgb.argmax() == _hue_rgb(ob, fs[2], s=1.0, v=1.0).argmax()
+
+
 @pytest.mark.slow
 def test_train_from_real_shapes3d_h5(root, tmp_path):
     """End-to-end: the real-data HDF5 path drives the actual training
