@@ -225,9 +225,13 @@ class InceptionV3FID(nn.Module):
 # --------------------------------------------------------------------------
 
 
-def compute_activations(variables, images, batch_size: int = 64) -> np.ndarray:
-    """images: (N,H,W,3) in [0,1] (float) or uint8. Returns (N, 2048)."""
-    model = InceptionV3FID()
+def compute_activations(variables, images, batch_size: int = 64,
+                        model=None) -> np.ndarray:
+    """images: (N,H,W,3) in [0,1] (float) or uint8. Returns (N, D) feature
+    activations — Inception pool3 (2048-d) by default, or any feature
+    extractor passed as ``model`` (e.g. :class:`AttributeProbeCNN`)."""
+    if model is None:
+        model = InceptionV3FID()
     apply_fn = jax.jit(lambda v, x: model.apply(v, x))
     images = np.asarray(images)
     outs = []
@@ -265,12 +269,145 @@ def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
                  - 2 * np.trace(covmean))
 
 
-def compute_fid(variables, images_a, images_b, batch_size: int = 64) -> float:
+def compute_fid(variables, images_a, images_b, batch_size: int = 64,
+                model=None) -> float:
     mu1, s1 = activation_statistics(
-        compute_activations(variables, images_a, batch_size))
+        compute_activations(variables, images_a, batch_size, model=model))
     mu2, s2 = activation_statistics(
-        compute_activations(variables, images_b, batch_size))
+        compute_activations(variables, images_b, batch_size, model=model))
     return frechet_distance(mu1, s1, mu2, s2)
+
+
+# --------------------------------------------------------------------------
+# learned-feature fallback: attribute-supervised probe
+# --------------------------------------------------------------------------
+
+
+class AttributeProbeCNN(nn.Module):
+    """Small conv net supervised on the dataset's binary attributes; its
+    penultimate features define a *learned* Fréchet feature space when no
+    pretrained Inception weights are available (zero-egress fallback for the
+    ``celeba_fid.py:26-229`` protocol, which uses Inception pool3).
+
+    Unlike the random-init Inception fallback, these features are trained to
+    be discriminative for the dataset's semantic attributes, so the Fréchet
+    distance in this space penalizes semantic (attribute-distribution)
+    mismatch between real and generated sets. Scores are labeled
+    ``mode="attribute_probe"`` — comparable across runs of the same probe,
+    not against published Inception-FID numbers.
+    """
+
+    num_attrs: int = 18
+    width: int = 64
+    feat_dim: int = 256
+
+    @nn.compact
+    def __call__(self, x, return_logits: bool = False):
+        # x: (B,H,W,3) in [0,1]; resize to 64x64 (attributes are global
+        # appearance bits — low resolution suffices and keeps the probe
+        # cheap at 256px inputs).
+        if x.shape[1] != 64 or x.shape[2] != 64:
+            x = jax.image.resize(x, (x.shape[0], 64, 64, x.shape[-1]),
+                                 method="bilinear")
+        x = 2.0 * x - 1.0
+        for ch in (self.width, 2 * self.width, 4 * self.width,
+                   4 * self.width):
+            x = nn.Conv(ch, (3, 3), strides=(2, 2))(x)
+            x = nn.GroupNorm(num_groups=8)(x)
+            x = nn.silu(x)
+        x = jnp.mean(x, axis=(1, 2))
+        feats = nn.Dense(self.feat_dim, name="features")(x)
+        if not return_logits:
+            return feats  # FID feature space (pre-activation, like pool3)
+        return nn.Dense(self.num_attrs, name="head")(nn.silu(feats))
+
+
+def train_attribute_probe(images, attrs, *, steps: int = 1500,
+                          batch_size: int = 64, lr: float = 1e-3,
+                          seed: int = 0, holdout: int = 512,
+                          width: int = 64, feat_dim: int = 256):
+    """Train an :class:`AttributeProbeCNN` on (images, binary attrs).
+
+    images: (N,H,W,3) uint8 or float in [0,1]; attrs: (N,A) in {0,1}.
+    The last ``holdout`` examples are held out; returns
+    ``(variables, info)`` where info carries ``holdout_auc`` (mean
+    per-attribute AUROC) as the probe-quality certificate.
+    """
+    import optax
+
+    images = np.asarray(images)
+    attrs = np.asarray(attrs, np.float32)
+    holdout = min(holdout, len(images) // 4)
+    rs = np.random.RandomState(seed)
+    perm = rs.permutation(len(images))
+    train_idx, hold_idx = perm[:-holdout], perm[-holdout:]
+
+    model = AttributeProbeCNN(num_attrs=attrs.shape[1], width=width,
+                              feat_dim=feat_dim)
+    rng = jax.random.PRNGKey(seed)
+    sample = images[:1].astype(np.float32)
+    if images.dtype == np.uint8:
+        sample = sample / 255.0
+    variables = model.init(rng, jnp.asarray(sample), return_logits=True)
+    tx = optax.adam(lr)
+    opt_state = tx.init(variables["params"])
+
+    @jax.jit
+    def step(params, opt_state, x, y):
+        def loss_fn(p):
+            logits = model.apply({"params": p}, x, return_logits=True)
+            return optax.sigmoid_binary_cross_entropy(logits, y).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    params = variables["params"]
+    loss = np.inf
+    for it in range(steps):
+        sel = rs.choice(train_idx, size=min(batch_size, len(train_idx)),
+                        replace=False)
+        x = images[sel].astype(np.float32)
+        if images.dtype == np.uint8:
+            x = x / 255.0
+        params, opt_state, loss = step(params, opt_state, jnp.asarray(x),
+                                       jnp.asarray(attrs[sel]))
+
+    # holdout AUROC per attribute (rank statistic, no sklearn needed)
+    hx = images[hold_idx].astype(np.float32)
+    if images.dtype == np.uint8:
+        hx = hx / 255.0
+    logits = []
+    for i in range(0, len(hx), batch_size):
+        logits.append(np.asarray(model.apply(
+            {"params": params}, jnp.asarray(hx[i:i + batch_size]),
+            return_logits=True)))
+    logits = np.concatenate(logits, axis=0)
+    hy = attrs[hold_idx]
+    aucs = []
+    for a in range(hy.shape[1]):
+        pos, neg = logits[hy[:, a] > 0.5, a], logits[hy[:, a] < 0.5, a]
+        if len(pos) == 0 or len(neg) == 0:
+            continue
+        ranks = np.argsort(np.argsort(np.concatenate([pos, neg]))) + 1
+        auc = (ranks[:len(pos)].sum() - len(pos) * (len(pos) + 1) / 2) / (
+            len(pos) * len(neg))
+        aucs.append(float(auc))
+    info = {"holdout_auc": float(np.mean(aucs)) if aucs else float("nan"),
+            "final_loss": float(loss), "steps": steps,
+            "num_attrs": int(attrs.shape[1])}
+    return {"params": params}, info
+
+
+def compute_probe_fid(probe_variables, images_a, images_b,
+                      batch_size: int = 64, num_attrs: int = 18,
+                      width: int = 64, feat_dim: int = 256) -> float:
+    """Fréchet distance in a trained :class:`AttributeProbeCNN`'s feature
+    space (the learned-feature fallback for zero-egress environments)."""
+    model = AttributeProbeCNN(num_attrs=num_attrs, width=width,
+                              feat_dim=feat_dim)
+    return compute_fid(probe_variables, images_a, images_b,
+                       batch_size=batch_size, model=model)
 
 
 def init_fid_variables(rng):

@@ -31,6 +31,13 @@ def main():
     ap.add_argument("--ddim_steps", type=int, default=200)
     ap.add_argument("--eta", type=float, default=1.0)
     ap.add_argument("--inception_weights", default=None)
+    ap.add_argument("--feature_probe_npz", default=None,
+                    help="eval npz (data images + targ binary attributes, "
+                         "the celeba_tad.py input format): train an "
+                         "attribute-supervised probe and compute the "
+                         "Fréchet distance in its learned feature space "
+                         "instead of random-init Inception features")
+    ap.add_argument("--probe_steps", type=int, default=1500)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -87,20 +94,37 @@ def main():
             print(f"sampled {i + len(chunk)}/{args.num}")
     gen = np.concatenate(gen, axis=0)
 
-    fvars = fid_lib.init_fid_variables(jax.random.PRNGKey(0))
+    real_f = real.astype(np.float32) / 255.0
     if args.inception_weights:
         import torch
 
+        fvars = fid_lib.init_fid_variables(jax.random.PRNGKey(0))
         sd = torch.load(args.inception_weights, map_location="cpu")
         fvars = fid_lib.load_torch_fid_inception(fvars, sd)
+        score = fid_lib.compute_fid(fvars, real_f, gen,
+                                    batch_size=args.batch_size)
+        result = {"fid": score, "num": args.num, "mode": "inception",
+                  "calibrated": True}
+    elif args.feature_probe_npz:
+        f = np.load(args.feature_probe_npz)
+        print(f"training attribute probe on {len(f['data'])} images "
+              f"x {f['targ'].shape[1]} attributes ({args.probe_steps} steps)")
+        pvars, info = fid_lib.train_attribute_probe(
+            f["data"], f["targ"], steps=args.probe_steps)
+        print(f"probe holdout AUROC {info['holdout_auc']:.4f}")
+        score = fid_lib.compute_probe_fid(
+            pvars, real_f, gen, batch_size=args.batch_size,
+            num_attrs=int(f["targ"].shape[1]))
+        result = {"fid": score, "num": args.num, "mode": "attribute_probe",
+                  "calibrated": False, "probe": info}
     else:
-        print("WARNING: no --inception_weights; FID is uncalibrated")
-
-    score = fid_lib.compute_fid(
-        fvars, real.astype(np.float32) / 255.0, gen,
-        batch_size=args.batch_size)
-    result = {"fid": score, "num": args.num,
-              "calibrated": bool(args.inception_weights)}
+        print("WARNING: no --inception_weights / --feature_probe_npz; "
+              "FID is uncalibrated (random-init Inception features)")
+        fvars = fid_lib.init_fid_variables(jax.random.PRNGKey(0))
+        score = fid_lib.compute_fid(fvars, real_f, gen,
+                                    batch_size=args.batch_size)
+        result = {"fid": score, "num": args.num, "mode": "random_features",
+                  "calibrated": False}
     print(json.dumps(result, indent=2))
     if args.out:
         with open(args.out, "w") as f:
