@@ -161,10 +161,10 @@ def render_faces(size: int = 256, factor_sizes=None) -> np.ndarray:
     return out
 
 
-def face_factors(n: int | None = None) -> np.ndarray:
+def face_factors(n: int | None = None, factor_sizes=None) -> np.ndarray:
     """(N, 7) integer factor values in index order."""
-    fs = FACE_FACTOR_SIZES
-    n = n or N_FACES
+    fs = list(FACE_FACTOR_SIZES if factor_sizes is None else factor_sizes)
+    n = n or int(np.prod(fs))
     bases = np.concatenate([np.cumprod(fs[::-1])[::-1][1:], [1]]).astype(
         np.int64)
     idx = np.arange(n, dtype=np.int64)
@@ -217,6 +217,75 @@ class SyntheticFaces(ArrayDataset):
 
 class SyntheticFacesTrain(SyntheticFaces):
     pass
+
+
+#: continuous LFW-style attribute names derivable from the factor grid
+FACE_LFW_ATTR_NAMES = [
+    "Hair_Darkness", "Hair_Length", "Face_Width", "Smile_Intensity",
+    "Eye_Size", "Skin_Tone", "Background_Warmth", "Blondness",
+    "Hair_Redness", "Face_Roundness",
+]
+
+
+def face_lfw_attributes(n: int | None = None, factor_sizes=None) -> np.ndarray:
+    """(N, 10) continuous attributes in LFW's z-scored-regressor style —
+    the targets of the ``eval_lfw.py`` regression protocol
+    (lfw_src/lfw_attribute.py exposes 73 continuous regressor outputs;
+    these 10 are the factor-derived analogues for the procedural grid)."""
+    f = face_factors(n, factor_sizes).astype(np.float32)
+    bg, sk, hc, ln, wd, sm, ey = (f[:, i] for i in range(7))
+    hair_lum = _HAIR.mean(axis=1) / 255.0       # luminance per hair color
+    bg_warmth = (_BG[:, 0] - _BG[:, 2]) / 255.0  # red minus blue
+    cols = [
+        1.0 - hair_lum[hc.astype(int)],          # Hair_Darkness
+        ln / 3.0,                                # Hair_Length
+        wd / 3.0,                                # Face_Width
+        sm / 2.0 * 2.0 - 1.0,                    # Smile_Intensity (frown<0)
+        ey / 2.0,                                # Eye_Size
+        sk / 4.0,                                # Skin_Tone (pale->dark)
+        bg_warmth[bg.astype(int)],               # Background_Warmth
+        (hc == 2).astype(np.float32),            # Blondness
+        (hc == 3).astype(np.float32),            # Hair_Redness
+        1.0 - wd / 3.0 * 0.5 - ey / 2.0 * 0.5,   # Face_Roundness (composite)
+    ]
+    a = np.stack(cols, axis=1)
+    return ((a - a.mean(axis=0)) / (a.std(axis=0) + 1e-8)).astype(np.float32)
+
+
+def write_lfw_format(root: str, image_size: int = 64, num: int = 4000,
+                     seed: int = 0, factor_sizes=None) -> str:
+    """Write a synthetic-faces subset in the on-disk layout
+    ``evalx.lfw.LFWAttribute`` expects (``lfw_attributes.txt`` +
+    ``lfw-deepfunneled/<Person>/<Person>_0001.jpg``), so
+    ``scripts/eval_lfw.py`` runs end-to-end in this zero-egress
+    environment. One synthetic 'person' per grid image, continuous
+    attributes from :func:`face_lfw_attributes`. ``factor_sizes``
+    shrinks the grid for tests (renders directly, skipping the cache)."""
+    from PIL import Image
+
+    rs = np.random.RandomState(seed)
+    if factor_sizes is not None:
+        images = render_faces(image_size, factor_sizes)
+    else:
+        images = SyntheticFaces(max(image_size, 64)).images
+    sel = np.sort(rs.choice(len(images), size=min(num, len(images)),
+                            replace=False))
+    attrs = face_lfw_attributes(factor_sizes=factor_sizes)[sel]
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, "lfw_attributes.txt"), "w") as f:
+        f.write("# synthetic faces in LFW attribute format\n")
+        f.write("person\timagenum\t" + "\t".join(FACE_LFW_ATTR_NAMES) + "\n")
+        for row, (gi, a) in enumerate(zip(sel, attrs)):
+            person = f"Synthetic Face {int(gi):05d}"
+            p = person.replace(" ", "_")
+            d = os.path.join(root, "lfw-deepfunneled", p)
+            os.makedirs(d, exist_ok=True)
+            img = np.asarray(images[gi])
+            Image.fromarray(img).save(os.path.join(d, f"{p}_0001.jpg"),
+                                      quality=95)
+            f.write(person + "\t1\t"
+                    + "\t".join(f"{v:.6f}" for v in a) + "\n")
+    return root
 
 
 def write_eval_npz(path: str, image_size: int = 256, num: int = 4096,

@@ -32,10 +32,15 @@ class LFWAttribute:
             raise FileNotFoundError(attr_path)
         names, values = self._parse_attributes(attr_path)
         # deterministic split: hash person name parity like the reference's
-        # people-file train/test partition (10-fold -> 90/10)
+        # people-file train/test partition (10-fold -> 90/10). md5, not
+        # builtin hash(): the latter is salted per-process (PYTHONHASHSEED)
+        # and would silently reshuffle the split between runs.
+        import hashlib
+
         keep = []
         for i, (person, _num) in enumerate(names):
-            is_test = (hash(person) % 10) == 0
+            digest = hashlib.md5(person.encode()).digest()
+            is_test = (digest[0] % 10) == 0
             if (split == "test") == is_test:
                 keep.append(i)
         self.names = [names[i] for i in keep]
@@ -144,7 +149,8 @@ def train_probe(train_feats, train_labels, test_feats, test_labels,
 
 
 def eval_lfw(encode_fn: Callable, dataset_root: str, image_size: int = 64,
-             epochs: int = 15, batch_size: int = 256) -> dict:
+             epochs: int = 15, batch_size: int = 256,
+             probe_lr: float = 1e-3, probe_batch_size: int = 64) -> dict:
     """Full protocol: encode both splits, train probe, report curves."""
     train_set = LFWAttribute(dataset_root, "train", image_size)
     test_set = LFWAttribute(dataset_root, "test", image_size)
@@ -159,7 +165,8 @@ def eval_lfw(encode_fn: Callable, dataset_root: str, image_size: int = 64,
 
     tr_f, te_f = feats(train_set), feats(test_set)
     rs_hist, mse_hist, _ = train_probe(
-        tr_f, train_set.attributes, te_f, test_set.attributes, epochs=epochs)
+        tr_f, train_set.attributes, te_f, test_set.attributes, epochs=epochs,
+        batch_size=probe_batch_size, lr=probe_lr)
     best_epoch = int(np.argmax([r.mean() for r in rs_hist]))
     return {
         "best_epoch": best_epoch,

@@ -26,9 +26,24 @@ def main():
     ap.add_argument("-r", "--ckpt", required=True)
     ap.add_argument("--lfw_root", required=True)
     ap.add_argument("--epochs", type=int, default=15)
+    ap.add_argument("--image_size", type=int, default=64,
+                    help="encode resolution (match the model's input size)")
+    ap.add_argument("--synthetic", type=int, default=0,
+                    help="if >0 and lfw_root lacks lfw_attributes.txt, "
+                         "write an N-image synthetic-faces LFW-format set "
+                         "there first (zero-egress stand-in)")
     ap.add_argument("--use_tokens", action="store_true")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
+
+    if args.synthetic and not os.path.exists(
+            os.path.join(args.lfw_root, "lfw_attributes.txt")):
+        from encdiff_tpu.data.synthetic_faces import write_lfw_format
+
+        print(f"writing {args.synthetic}-image synthetic LFW set "
+              f"-> {args.lfw_root}")
+        write_lfw_format(args.lfw_root, image_size=args.image_size,
+                         num=args.synthetic)
 
     import jax
     import jax.numpy as jnp
@@ -53,7 +68,8 @@ def main():
             return model.cond_warp(cond_vars, u).reshape(u.shape[0], -1)
         return u
 
-    results = eval_lfw(encode, args.lfw_root, epochs=args.epochs)
+    results = eval_lfw(encode, args.lfw_root, epochs=args.epochs,
+                       image_size=args.image_size)
     print(f"best epoch {results['best_epoch']}: "
           f"avg pearson r {results['best_avg_pearson_r']:.3f}, "
           f"avg MSE {results['best_avg_mse']:.3f}")
