@@ -25,16 +25,38 @@ def reason(ground_truth_data, output_dir=None, *, pgm_type="easy_mixed",
            training_steps_per_iteration=100, eval_steps_per_iteration=10,
            random_seed=0, batch_size=32, learning_rate=1e-3,
            edge_mlp=(512, 512, 512, 512), graph_mlp=(256, 256),
-           quantize=True):
+           quantize=True, representation_fn=None):
     """Train + evaluate a WildRelNet on PGMs over ``ground_truth_data``.
 
     Returns the results dict (and writes ``results.json`` under
     ``output_dir`` when given) — the counterpart of the reference's
     TPUEstimator train/eval loop (reason.py:100-199).
+
+    ``representation_fn`` enables the trained-representation protocol (the
+    reference's HubEmbedding case): it maps raw panel observations
+    ``(B, N, *obs)`` to embeddings ``(B, N, D)`` — typically a lookup into
+    precomputed model representations when ``ground_truth_data`` is an
+    index-backed dataset. Panels are fed to the WildRelNet through the
+    'values' input slot; the ``embedding`` argument is ignored.
     """
     dataset = get_pgm_dataset(ground_truth_data, pgm_type, quantize=quantize)
     train_iter = dataset.batch_iterator(batch_size, seed=random_seed)
     val_iter = dataset.batch_iterator(batch_size, seed=random_seed + 1)
+
+    if representation_fn is not None:
+        embedding = "values"
+
+        def _embed(it):
+            for feats, labels in it:
+                feats = dict(feats)
+                feats["context_factor_values"] = np.asarray(
+                    representation_fn(feats["context"]), np.float32)
+                feats["answers_factor_values"] = np.asarray(
+                    representation_fn(feats["answers"]), np.float32)
+                yield feats, labels
+
+        train_iter = _embed(train_iter)
+        val_iter = _embed(val_iter)
 
     model = ar_models.TwoStageModel(
         embedding=embedding, edge_mlp=tuple(edge_mlp),
@@ -68,7 +90,8 @@ def reason(ground_truth_data, output_dir=None, *, pgm_type="easy_mixed",
 
     results = {
         "pgm_type": pgm_type,
-        "embedding": embedding,
+        "embedding": ("representation" if representation_fn is not None
+                      else embedding),
         "batch_size": batch_size,
         "final_train_accuracy": history[-1]["train_accuracy"],
         "final_val_accuracy": history[-1]["val_accuracy"],

@@ -136,3 +136,34 @@ def test_reason_learns_above_chance(tmp_path):
         saved = json.load(fh)
     assert saved["final_val_accuracy"] == results["final_val_accuracy"]
     assert results["final_val_accuracy"] > 0.4  # chance = 1/6
+
+
+def test_reason_with_trained_representation_lookup(tmp_path):
+    """The trained-representation protocol (reference HubEmbedding case):
+    panels are integer indices into an index-backed dataset and
+    ``representation_fn`` looks rows up in a precomputed representation
+    table. With an ideal representation (the factors themselves) the
+    WildRelNet must beat the 1/6 chance rate."""
+    import numpy as np
+
+    from encdiff_tpu.evalx.abstract_reasoning import reason
+    from encdiff_tpu.evalx.ground_truth.core import IndexBackedDataset
+
+    fs = [5, 5, 5]
+    n = int(np.prod(fs))
+    data = IndexBackedDataset(np.arange(n), fs)
+    table = np.stack(np.unravel_index(np.arange(n), fs),
+                     axis=1).astype(np.float32)
+    table = (table - table.mean(0)) / table.std(0)
+
+    def representation_fn(panels):
+        return table[np.asarray(panels, np.int64)]
+
+    results = reason(
+        data, str(tmp_path), pgm_type="easy_3",
+        representation_fn=representation_fn, num_iterations=3,
+        training_steps_per_iteration=100, eval_steps_per_iteration=5,
+        batch_size=16, learning_rate=1e-3,
+        edge_mlp=(64, 64), graph_mlp=(32,), quantize=False)
+    assert results["embedding"] == "representation"
+    assert results["final_val_accuracy"] > 0.3, results
