@@ -308,6 +308,40 @@ def main():
             extra["ddim_arith_intensity"] = round(
                 (sample_flops + (DDIM_STEPS - 1) * unet_flops) / tbytes, 2)
 
+    if DO_DDIM and os.environ.get("BENCH_DDIM50", "1") == "1":
+        # North-star row (BASELINE.md:22, BENCH_NOTES round-3 accounting):
+        # large-batch DDIM-50 throughput vs the 212 samples/s analytic
+        # 5x-A100-eager bar. Separate jit at bs=1024.
+        b50, s50 = 1024, 50
+        d50 = DDIMSchedule.create(model.schedule, s50, eta=1.0)
+        img50 = jnp.asarray(np.random.RandomState(2).uniform(
+            -1, 1, size=(b50, 64, 64, 3)).astype(np.float32))
+
+        def sample50_fn(unet_params, cond_vars, fs_vars, images, rng):
+            u = model.cond_encoding(cond_vars, images)
+            tokens = model.cond_warp(cond_vars, u)
+            if tokens.ndim == 3:
+                tokens = tokens.reshape(tokens.shape[0], -1)
+            shape = (b50, model.image_size, model.image_size, model.channels)
+            denoise = lambda x, t: model.apply_model(
+                {"params": unet_params}, x, t, tokens)
+            z, _ = ddim_lib.ddim_sample(d50, denoise, shape, rng)
+            return model.decode_first_stage(fs_vars, z, scale_factor=1.0)
+
+        s50_jit = jax.jit(sample50_fn)
+        out = s50_jit(state.params["unet"], cond_vars, frozen["first_stage"],
+                      img50, jax.random.PRNGKey(3))
+        float(jnp.mean(out))  # compile + warm; data-dependent host fetch
+        t0 = time.perf_counter()
+        for i in range(2):
+            out = s50_jit(state.params["unet"], cond_vars,
+                          frozen["first_stage"], img50,
+                          jax.random.PRNGKey(17 + i))
+        float(jnp.mean(out))
+        r50 = 2 * b50 / (time.perf_counter() - t0)
+        extra["ddim50_bs1024_samples_per_s"] = round(r50, 1)
+        extra["ddim50_vs_a100_eager_5x_bar"] = round(r50 / 212.0, 3)
+
     prev = None
     for f in sorted(glob.glob(os.path.join(os.path.dirname(__file__),
                                            "BENCH_r*.json"))):

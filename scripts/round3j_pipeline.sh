@@ -44,6 +44,19 @@ stage() {
   return $rc
 }
 
+# validate the BENCH_DDIM50 north-star row added this session (also what
+# the driver will run at round end)
+bench_check() {
+  python bench.py | tail -1 > "$ART/bench_r03_preview2.json"
+  cat "$ART/bench_r03_preview2.json"
+  python - <<'EOF'
+import json
+d = json.load(open("demo_artifacts/round3/bench_r03_preview2.json"))
+assert "ddim50_bs1024_samples_per_s" in d.get("extra", {}), d
+EOF
+}
+stage bench_ddim50_check bench_check
+
 V4LDM=$(ls -td runs_full/*v4ld*/ 2>/dev/null | head -1 | sed 's:/$::')
 V4CFG=configs/demo/synthetic-shapes-v4-full-encdiff.yaml
 if [ -n "$V4LDM" ] && [ -d "$V4LDM/checkpoints" ]; then
