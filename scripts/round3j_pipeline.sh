@@ -78,4 +78,28 @@ stage v4_reasoning_onehot python scripts/abstract_reasoning_eval.py \
   --training_steps_per_iteration 100 --batch_size 32 \
   --output_dir "$ART/v4_reasoning_onehot"
 
+# ---- UDR across seeds: 27k two-seed run + first end-to-end UDR numbers ----
+stage udr_vq python main_val.py -b configs/demo/synthetic_shapes_vq.yaml \
+  -t true --no-test true -l runs_udr -s 23 -n uvq
+UVQ=$(ls -td runs_udr/*uvq*/ 2>/dev/null | head -1 | sed 's:/$::')
+UCFG=configs/demo/synthetic-shapes-encdiff.yaml
+if [ -n "$UVQ" ] && [ -d "$UVQ/checkpoints/last" ]; then
+  for SEED in 1 2; do
+    stage udr_seed$SEED python main_val.py -b "$UCFG" -t true \
+      --no-test true -l runs_udr -s $SEED -n useed$SEED \
+      --check_val_every_n_epoch 10 --eval_metrics factor_VAE \
+      "model.params.first_stage_config.params.ckpt_path=$UVQ/checkpoints/last"
+  done
+  CK1=$(ls -td runs_udr/*useed1*/ 2>/dev/null | head -1)checkpoints/last
+  CK2=$(ls -td runs_udr/*useed2*/ 2>/dev/null | head -1)checkpoints/last
+  if [ -d "$CK1" ] && [ -d "$CK2" ]; then
+    stage udr_eval python scripts/udr_eval.py -b "$UCFG" -r "$CK1" "$CK2" \
+      --num_data_points 4000 --out "$ART/udr_two_seed.json"
+  else
+    echo "[pipeline] udr_eval: SKIP (missing seed checkpoints)"
+  fi
+else
+  echo "[pipeline] udr: SKIP (no VQ checkpoint)"
+fi
+
 exec bash scripts/round3i_pipeline.sh
