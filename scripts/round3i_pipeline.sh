@@ -67,6 +67,42 @@ train_resume() {
   fi
 }
 
+# ---- stage 0 (pass-8 extension): v4 MCL lambda/epoch extension -------------
+# The v4 flagship + MCL(lambda=0.01, 1ep) sits at DCI 0.9835 full-protocol,
+# 0.0085 from the reference's 0.992. Cheap cells (~3.8k steps each) that
+# might close it: a wider lambda grid at 1 epoch (the sweep driver resumes
+# runs_mcl_v4/mcl_sweep.csv, so lambda=0.01 is skipped and the finale
+# re-scores the overall best), plus a 2-epoch run at the winner lambda.
+V4CFG=configs/demo/synthetic-shapes-v4-full-encdiff.yaml
+V4BEST=runs_full/2026-08-19T09-41-21_v4ld/checkpoints/best_dci_019_0.9840
+V4VQ=runs_full/2026-08-19T09-11-20_v4vq/checkpoints/last
+if [ -d "$V4BEST" ] && [ -d "$V4VQ" ]; then
+  v4_mcl_ext() {
+    python scripts/run_mcl_sweep.py --base "$V4CFG" \
+      --ckpt "$V4BEST" --vq_ckpt "$V4VQ" \
+      --mcl_types infonce_mechgrad --lambdas 0.005,0.01,0.02,0.05 \
+      --max_epochs 1 -l runs_mcl_v4 || return 1
+    cp runs_mcl_v4/mcl_sweep.csv demo_artifacts/round3/mcl_v4.csv
+    cp runs_mcl_v4/mcl_best_full_protocol.json \
+       demo_artifacts/round3/mcl_v4_full_protocol.json 2>/dev/null
+    true
+  }
+  stage v4_mcl_ext v4_mcl_ext
+  v4_mcl_ep2() {
+    python scripts/run_mcl_sweep.py --base "$V4CFG" \
+      --ckpt "$V4BEST" --vq_ckpt "$V4VQ" \
+      --mcl_types infonce_mechgrad --lambdas 0.01 \
+      --max_epochs 2 -l runs_mcl_v4ep2 || return 1
+    cp runs_mcl_v4ep2/mcl_sweep.csv demo_artifacts/round3/mcl_v4_ep2.csv
+    cp runs_mcl_v4ep2/mcl_best_full_protocol.json \
+       demo_artifacts/round3/mcl_v4_ep2_full_protocol.json 2>/dev/null
+    true
+  }
+  stage v4_mcl_ep2 v4_mcl_ep2
+else
+  echo "[pipeline] v4_mcl_ext: SKIP (v4 checkpoints missing)"
+fi
+
 # ---- stage 1: faces two-stage retrain -------------------------------------
 stage faces_vq python main_val.py -b configs/demo/synthetic-faces-vq.yaml \
   -t true --no-test true -l runs_faces -s 23 -n fvq
