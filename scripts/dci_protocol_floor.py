@@ -21,6 +21,12 @@ exactly-controlled amount of true leakage:
                 protocol cannot distinguish from true mixing.
   cell "leak+sharednoise": both effects -- the closest synthetic analogue
                 of the trained v4 encoder.
+  cell "xleak": INTERACTION leak: alpha*zscore(objhue)*zscore(scale) on the
+                two scale codes. Zero main effect, so invisible to
+                probe_code_leak's fixed-other-factors grid, but real
+                predictive signal a GBT can harvest -- the candidate
+                mechanism once the pure/leak/sharednoise cells all score
+                ~1.0. --xleak_var sets its variance share.
 
 Both cells are scored with the UNMODIFIED reference protocol
 (`evaluation/metrics/dci.py:35-135` semantics: 10k/5k points, sklearn
@@ -88,7 +94,7 @@ class FactorIndexData(GroundTruthData):
 
 
 def build_rep_fn(importance_matrix, sigma, leak_alpha, noise_seed,
-                 shared_rho=0.0):
+                 shared_rho=0.0, xleak_alpha=0.0):
     """Deterministic 'encoder': flat index -> 20 synthetic codes."""
     m = np.asarray(importance_matrix)
     primary = m.argmax(1)
@@ -123,6 +129,9 @@ def build_rep_fn(importance_matrix, sigma, leak_alpha, noise_seed,
         if leak_alpha:
             for i in scale_codes:
                 codes[:, i] += leak_alpha * z[:, OBJHUE]
+        if xleak_alpha:
+            for i in scale_codes:
+                codes[:, i] += xleak_alpha * z[:, OBJHUE] * z[:, SCALE]
         return codes
 
     return rep_fn, {"primary": primary.tolist(), "live": live.tolist(),
@@ -143,6 +152,10 @@ def main():
     ap.add_argument("--shared_rho", type=float, default=0.3,
                     help="shared-noise variance fraction for *sharednoise "
                          "cells")
+    ap.add_argument("--xleak_var", type=float, default=0.02,
+                    help="true interaction-leak variance fraction for "
+                         "'xleak' cells (2% ~ the off-primary GBT "
+                         "importance share measured on v4's scale codes)")
     ap.add_argument("--num_train", type=int, default=10000)
     ap.add_argument("--num_test", type=int, default=5000)
     ap.add_argument("--out", default=None)
@@ -154,9 +167,11 @@ def main():
     # alpha^2 = f * (1 + sigma^2) / (1 - f)
     total = 1.0 + args.sigma ** 2
     alpha = float(np.sqrt(args.leak_var * total / (1.0 - args.leak_var)))
+    xalpha = float(np.sqrt(args.xleak_var * total / (1.0 - args.xleak_var)))
 
     results = {"sigma": args.sigma, "leak_var": args.leak_var,
                "leak_alpha": alpha, "shared_rho": args.shared_rho,
+               "xleak_var": args.xleak_var, "xleak_alpha": xalpha,
                "num_train": args.num_train,
                "num_test": args.num_test, "matrix_source": V4_MATRIX,
                "cells": {}}
@@ -164,9 +179,10 @@ def main():
     for cell in args.cells.split(","):
         rep_fn, meta = build_rep_fn(
             matrix, args.sigma,
-            alpha if "leak" in cell else 0.0,
+            alpha if "leak" in cell.replace("xleak", "") else 0.0,
             noise_seed=1234,
-            shared_rho=args.shared_rho if "sharednoise" in cell else 0.0)
+            shared_rho=args.shared_rho if "sharednoise" in cell else 0.0,
+            xleak_alpha=xalpha if "xleak" in cell else 0.0)
         rows = []
         for seed in seeds:
             t0 = time.time()
