@@ -136,6 +136,10 @@ class LatentDiffusion(DDPM):
                  use_mcl=False, mcl_type="infonce_mechgrad", lambda_mcl=0.0,
                  mcl_tau=0.1, mcl_sigma=0.1, mcl_neg_mode="shuffle_u",
                  mcl_proj_dim=128,
+                 # round-4 independence regularizers on the concept scalars
+                 # (losses/indep.py): target the two-codes-one-factor split
+                 # (completeness) and the interaction leak (the DCI gap)
+                 indep_type=None, lambda_indep=0.0, indep_bandwidth=1.0,
                  *args, **kwargs):
         self.num_timesteps_cond = num_timesteps_cond or 1
         self.scale_by_std = scale_by_std
@@ -180,6 +184,9 @@ class LatentDiffusion(DDPM):
         self.mcl_sigma = mcl_sigma
         self.mcl_neg_mode = mcl_neg_mode
         self.mcl_proj_dim = mcl_proj_dim
+        self.indep_type = indep_type or None
+        self.lambda_indep = lambda_indep
+        self.indep_bandwidth = indep_bandwidth
         self.mcl_modules = None
         if use_mcl:
             from encdiff_tpu.losses.mcl import build_mcl_modules
@@ -334,6 +341,15 @@ class LatentDiffusion(DDPM):
             loss_type=self.loss_type, parameterization=self.parameterization,
             l_simple_weight=self.l_simple_weight,
             original_elbo_weight=self.original_elbo_weight, prefix=prefix)
+
+        if self.indep_type is not None and self.lambda_indep > 0:
+            from encdiff_tpu.losses.indep import indep_penalty
+
+            pen = indep_penalty(self.indep_type, u,
+                                bandwidth=self.indep_bandwidth)
+            loss_dict[f"{prefix}/loss_indep"] = pen
+            loss = loss + self.lambda_indep * pen
+            loss_dict[f"{prefix}/loss"] = loss
 
         if self.use_mcl and self.lambda_mcl > 0 and with_mcl:
             from encdiff_tpu.losses.mcl import mcl_loss
