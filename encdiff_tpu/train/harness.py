@@ -441,6 +441,10 @@ class Trainer:
                 order = (np.random.RandomState(self.seed + epoch)
                          .permutation(n)[: spe * global_bs]
                          .astype(np.int32))
+                # datasets with an epoch repeat (Cars3D x10, disdata.py:336)
+                # report len == repeat * n_images; the device cache holds
+                # only the physical rows — fold the repeat into the perm
+                order %= len(train_ds.images)
                 perm_dev = jax.device_put(order, repl)
                 # one permutation upload per epoch; the step slices it
                 for _ in range(spe):
@@ -575,6 +579,7 @@ class Trainer:
                 order = (np.random.RandomState(self.seed + epoch)
                          .permutation(n)[: spe * self.batch_size]
                          .astype(np.int32))
+                order %= len(train_ds.images)  # epoch-repeat datasets
                 perm_dev = jax.device_put(order, repl)
                 for _ in range(spe):
                     yield perm_dev
