@@ -91,7 +91,8 @@ def compute_udr(ground_truth_data,
         mu = model_reps[i].mean(axis=0)
         sd = model_reps[i].std(axis=0) + 1e-12
         model_reps[i] = (model_reps[i] - mu) / sd
-        model_reps[i] = model_reps[i] * np.greater(kl[i], 0.01)
+        model_reps[i] = model_reps[i] * np.greater(kl[i],
+                                                   kl_filter_threshold)
         kl_mask.append(kl[i] > kl_filter_threshold)
 
     disentanglement = np.zeros((num_models, num_models, 1))

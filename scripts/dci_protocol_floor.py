@@ -35,9 +35,14 @@ across several protocol seeds. If a zero-mixing representation shaped like
 the flagship scores ~0.98x rather than 1.0, the flagship's measured
 0.9835-vs-0.992 gap sits at the protocol's own floor, not in the model.
 
-Pure CPU/sklearn, no checkpoint or chip needed:
+Pure CPU/sklearn, no checkpoint or chip needed. ONE command regenerates the
+committed artifact (the full cell grid incl. the interaction dose-response;
+--out merges, so partial runs resume and extra seeds append):
+
   JAX_PLATFORMS=cpu python scripts/dci_protocol_floor.py \
-      --seeds 0,1,2,3 --out demo_artifacts/round3/dci_protocol_floor.json
+      --seeds 0,1,2,3 --cells pure,leak+sharednoise,sharednoise \
+      --xleak_vars 0.01,0.02 \
+      --out demo_artifacts/round3/dci_protocol_floor.json
 """
 
 from __future__ import annotations
@@ -153,12 +158,22 @@ def main():
                     help="shared-noise variance fraction for *sharednoise "
                          "cells")
     ap.add_argument("--xleak_var", type=float, default=0.02,
-                    help="true interaction-leak variance fraction for "
-                         "'xleak' cells (2% ~ the off-primary GBT "
+                    help="true interaction-leak variance fraction for the "
+                         "bare 'xleak' cell (2% ~ the off-primary GBT "
                          "importance share measured on v4's scale codes)")
+    ap.add_argument("--xleak_vars", default=None,
+                    help="comma list of interaction-leak doses; expands to "
+                         "one 'xleak@<v>' cell per dose with per-cell "
+                         "alpha, so the full dose-response regenerates "
+                         "from ONE command (e.g. --xleak_vars 0.01,0.02)")
     ap.add_argument("--num_train", type=int, default=10000)
     ap.add_argument("--num_test", type=int, default=5000)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--overwrite", action="store_true",
+                    help="start --out from scratch; the default MERGES into "
+                         "an existing file (new cells added, new seeds "
+                         "appended to existing cells, unknown top-level "
+                         "keys like 'note' preserved)")
     args = ap.parse_args()
 
     matrix = json.load(open(V4_MATRIX))["dci"]["importance_matrix"]
@@ -167,24 +182,50 @@ def main():
     # alpha^2 = f * (1 + sigma^2) / (1 - f)
     total = 1.0 + args.sigma ** 2
     alpha = float(np.sqrt(args.leak_var * total / (1.0 - args.leak_var)))
-    xalpha = float(np.sqrt(args.xleak_var * total / (1.0 - args.xleak_var)))
+
+    def xvar_to_alpha(v):
+        return float(np.sqrt(v * total / (1.0 - v)))
 
     results = {"sigma": args.sigma, "leak_var": args.leak_var,
                "leak_alpha": alpha, "shared_rho": args.shared_rho,
-               "xleak_var": args.xleak_var, "xleak_alpha": xalpha,
                "num_train": args.num_train,
                "num_test": args.num_test, "matrix_source": V4_MATRIX,
                "cells": {}}
-    seeds = [int(s) for s in args.seeds.split(",")]
+    if args.out and os.path.exists(args.out) and not args.overwrite:
+        prev = json.load(open(args.out))
+        prev.setdefault("cells", {})
+        prev.update({k: v for k, v in results.items() if k != "cells"})
+        results = prev
+
+    # cell name -> interaction-leak variance (None = no xleak term)
+    cells: list[tuple[str, float | None]] = []
     for cell in args.cells.split(","):
+        cells.append((cell, args.xleak_var if cell == "xleak" else None))
+    if args.xleak_vars:
+        for v in args.xleak_vars.split(","):
+            cells.append((f"xleak@{v}", float(v)))
+    doses = sorted({v for _, v in cells if v is not None})
+    if doses:
+        results["xleak_doses"] = doses
+
+    seeds = [int(s) for s in args.seeds.split(",")]
+    for cell, xvar in cells:
+        xalpha = xvar_to_alpha(xvar) if xvar is not None else 0.0
         rep_fn, meta = build_rep_fn(
             matrix, args.sigma,
             alpha if "leak" in cell.replace("xleak", "") else 0.0,
             noise_seed=1234,
             shared_rho=args.shared_rho if "sharednoise" in cell else 0.0,
-            xleak_alpha=xalpha if "xleak" in cell else 0.0)
-        rows = []
+            xleak_alpha=xalpha)
+        if xvar is not None:
+            meta = {**meta, "xleak_var": xvar, "xleak_alpha": xalpha}
+        rows = list(results["cells"].get(cell, {}).get("rows", []))
+        done_seeds = {r["seed"] for r in rows}
         for seed in seeds:
+            if seed in done_seeds:
+                print(json.dumps({"cell": cell, "seed": seed,
+                                  "skip": "already in --out"}), flush=True)
+                continue
             t0 = time.time()
             scores = compute_dci(data, rep_fn, np.random.RandomState(seed),
                                  num_train=args.num_train,
@@ -200,10 +241,12 @@ def main():
         _dump(args.out, results, cell, meta, rows)
     for cell, c in results["cells"].items():
         print(json.dumps({"cell": cell, "dci_mean": c["dci_mean"],
-                          "dci_std": c["dci_std"]}), flush=True)
+                          "dci_std": c["dci_std"],
+                          "n_seeds": len(c["rows"])}), flush=True)
 
 
 def _dump(out, results, cell, meta, rows):
+    rows = sorted(rows, key=lambda r: r["seed"])
     d = np.array([r["disentanglement"] for r in rows])
     results["cells"][cell] = {
         "meta": meta, "rows": list(rows),

@@ -40,6 +40,13 @@ def main(argv=None):
                         "(reference: run_mcl_parallel_amd.sh fans "
                         "5 types x lambda grid over 8 GPUs)")
     p.add_argument("--lambdas", default="0.01,0.05,0.1,0.5")
+    p.add_argument("--indep_types", default="none",
+                   help="comma list of independence penalties (losses/"
+                        "indep.py: none,decorr,hsic,hsic+decorr); forms a "
+                        "product with the MCL grid (round-4 sweep axis)")
+    p.add_argument("--indep_lambdas", default="0",
+                   help="comma list of lambda_indep values (paired with "
+                        "--indep_types cells; ignored for 'none')")
     p.add_argument("--base_lr", type=float, default=2e-7,
                    help="reference MCL fine-tune lr (run_mcl_parallel)")
     p.add_argument("--max_epochs", type=int, default=1,
@@ -70,34 +77,58 @@ def main(argv=None):
         lambdas = [float(opt.only)]
     types = ([t.strip() for t in opt.mcl_types.split(",")]
              if opt.mcl_types else [opt.mcl_type])
+    indep_types = [t.strip() for t in opt.indep_types.split(",")]
+    indep_lambdas = [float(x) for x in opt.indep_lambdas.split(",")]
+
+    # full cell grid; 'none' axes collapse so the legacy MCL-only matrix is
+    # unchanged. mcl_type 'none' = indep-only fine-tune (no MCL modules).
+    cells = []
+    for t in types:
+        for l in ([0.0] if t == "none" else lambdas):
+            for it in indep_types:
+                for il in ([0.0] if it == "none" else indep_lambdas):
+                    if t == "none" and it == "none":
+                        continue
+                    cells.append((t, l, it, il))
+
+    def key(r):
+        return (r.get("mcl_type", "none"), float(r.get("lambda", 0) or 0),
+                r.get("indep_type", "none") or "none",
+                float(r.get("lambda_indep", 0) or 0))
 
     # Resume: a tunnel-chip hang can kill the sweep mid-matrix; rows already
     # in the CSV (without an error field) are done — skip them on relaunch.
     rows = _load_existing(opt.logdir)
-    done = {(r["mcl_type"], float(r["lambda"])) for r in rows
+    done = {key(r) for r in rows
             if r.get("val/dci_disentanglement") not in (None, "")}
     if done:
         print(f"resuming sweep: {len(done)} cells already in CSV", flush=True)
 
-    for mcl_type, lam in [(t, l) for t in types for l in lambdas]:
-        if (mcl_type, lam) in done:
-            print(f"=== skip {mcl_type} lambda={lam:g} (in CSV) ===", flush=True)
+    for mcl_type, lam, ind_type, ind_lam in cells:
+        cell = (mcl_type, lam, ind_type, ind_lam)
+        if cell in done:
+            print(f"=== skip {cell} (in CSV) ===", flush=True)
             continue
         # re-running a cell replaces its stale (errored) row
-        rows = [r for r in rows
-                if (r["mcl_type"], float(r["lambda"])) != (mcl_type, lam)]
+        rows = [r for r in rows if key(r) != cell]
         tag = f"{mcl_type}_lambda{lam:g}"
-        print(f"=== MCL fine-tune {tag} ===", flush=True)
+        if ind_type != "none":
+            tag += f"_{ind_type.replace('+', '-')}{ind_lam:g}"
+        print(f"=== fine-tune {tag} ===", flush=True)
         argv_run = [
             "-b", opt.base, "-t", "true", "-l", opt.logdir, "-s",
             str(opt.seed), "-n", tag,
             "--max_epochs", str(opt.max_epochs),
             "--check_val_every_n_epoch", "1",
             f"model.base_learning_rate={opt.base_lr}",
-            "model.params.use_mcl=true",
-            f"model.params.mcl_type={mcl_type}",
-            f"model.params.lambda_mcl={lam}",
         ]
+        if mcl_type != "none":
+            argv_run += ["model.params.use_mcl=true",
+                         f"model.params.mcl_type={mcl_type}",
+                         f"model.params.lambda_mcl={lam}"]
+        if ind_type != "none":
+            argv_run += [f"model.params.indep_type={ind_type}",
+                         f"model.params.lambda_indep={ind_lam}"]
         if opt.vq_ckpt:
             argv_run.append("model.params.first_stage_config.params."
                             f"ckpt_path={opt.vq_ckpt}")
@@ -112,6 +143,7 @@ def main(argv=None):
                                    ["--resume_ckpt", opt.ckpt])
             results = trainer.last_val_metrics or {}
             row = {"mcl_type": mcl_type, "lambda": lam,
+                   "indep_type": ind_type, "lambda_indep": ind_lam,
                    "epochs": opt.max_epochs,
                    "logdir": getattr(trainer, "logdir", ""),
                    **results}
@@ -119,6 +151,7 @@ def main(argv=None):
             import traceback
             traceback.print_exc()
             row = {"mcl_type": mcl_type, "lambda": lam,
+                   "indep_type": ind_type, "lambda_indep": ind_lam,
                    "epochs": opt.max_epochs,
                    "error": f"{type(exc).__name__}: {exc}"[:200]}
         rows.append(row)
@@ -150,8 +183,10 @@ def main(argv=None):
                                        "mcl_best_full_protocol.json"),
                           "w") as fh:
                     json.dump({"mcl_type": best["mcl_type"],
-                               "lambda": best["lambda"], **full}, fh,
-                              indent=2)
+                               "lambda": best["lambda"],
+                               "indep_type": best.get("indep_type", "none"),
+                               "lambda_indep": best.get("lambda_indep", 0),
+                               **full}, fh, indent=2)
                 print("winner full protocol:", json.dumps(full), flush=True)
         except Exception:
             import traceback

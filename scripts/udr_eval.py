@@ -29,6 +29,20 @@ def main():
     ap.add_argument("--batch_size", type=int, default=100)
     ap.add_argument("--correlation", default="lasso",
                     choices=["lasso", "spearman"])
+    ap.add_argument("--activity", default="variance",
+                    choices=["variance", "none"],
+                    help="per-dim activity proxy passed as the protocol's "
+                         "KL vector (udr.py:162-258 filter_low_kl). The "
+                         "reference masks dead VAE dims by per-dim KL; "
+                         "EncDiff's encoder is deterministic, so dead codes "
+                         "(near-constant over the data) are masked by "
+                         "max-normalized variance instead. Without a mask, "
+                         "a 6-factor representation in 20 codes has a "
+                         "structural UDR ceiling of ~6/20*0.9 = 0.27 — the "
+                         "dilution measured in round 3 (udr_two_seed.json).")
+    ap.add_argument("--activity_threshold", type=float, default=0.01,
+                    help="mask codes whose activity is below this fraction "
+                         "of the most active code's")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -53,6 +67,9 @@ def main():
     images = ds.images
 
     rep_fns = []
+    activities = []
+    act_rs = np.random.RandomState(17)
+    act_idx = act_rs.randint(0, len(images), size=2048)
     for ck in args.ckpts:
         variables, _ = load_model_variables(model, ck)
         cond_vars = {"params": variables["cond"]["params"],
@@ -60,9 +77,19 @@ def main():
         enc = jax.jit(lambda x, cv=cond_vars: model.cond_encoding(
             cv, x.astype(jnp.float32) / 127.5 - 1.0))
 
-        def rep_fn(obs, enc=enc):
-            return np.asarray(enc(jnp.asarray(
+        act = None
+        if args.activity == "variance":
+            sample = np.concatenate(
+                [np.asarray(enc(jnp.asarray(images[act_idx[i:i + 256]])))
+                 for i in range(0, len(act_idx), 256)], axis=0)
+            var = sample.var(axis=0)
+            act = var / max(var.max(), 1e-12)
+            activities.append(act.tolist())
+
+        def rep_fn(obs, enc=enc, act=act):
+            codes = np.asarray(enc(jnp.asarray(
                 images[np.asarray(obs, np.int64)])))
+            return codes if act is None else (codes, act)
 
         rep_fns.append(rep_fn)
 
@@ -71,7 +98,11 @@ def main():
                          batch_size=args.batch_size,
                          num_data_points=args.num_data_points,
                          correlation_matrix=args.correlation,
-                         include_raw_correlations=False)
+                         include_raw_correlations=False,
+                         kl_filter_threshold=args.activity_threshold)
+    if activities:
+        scores["activity_vectors"] = activities
+        scores["activity_threshold"] = args.activity_threshold
     print(json.dumps({"model_scores": scores["model_scores"],
                       "pairwise": scores["pairwise_disentanglement_scores"]},
                      indent=2))

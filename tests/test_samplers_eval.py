@@ -198,3 +198,61 @@ def test_attention_map_extraction():
         assert m.shape[-1] == 20, name
         np.testing.assert_allclose(m.sum(axis=-1), 1.0, atol=1e-4)
     assert u.shape == (2, 20)
+
+
+def test_udr_lasso_consistent_pair_scores_high():
+    """VERDICT r3 weak #4: the default LASSO path must score a
+    known-consistent pair near the disentanglement_lib >0.5 band."""
+    from encdiff_tpu.evalx.udr import compute_udr
+
+    class _GT:
+        def sample_observations(self, b, rs):
+            return rs.randint(0, 2000, size=(b,))
+
+    rs = np.random.RandomState(0)
+    table_a = rs.randn(2000, 8)
+    table_b = table_a[:, rs.permutation(8)] * 1.7 + 0.1 * rs.randn(2000, 8)
+    good = compute_udr(_GT(), [lambda o: table_a[o], lambda o: table_b[o]],
+                       np.random.RandomState(1), batch_size=100,
+                       num_data_points=1000, correlation_matrix="lasso")
+    assert min(good["model_scores"]) > 0.7
+
+
+def test_udr_dead_code_dilution_and_activity_filter():
+    """Root cause of round-3's UDR 0.28 (udr_two_seed.json): a PERFECTLY
+    consistent 6-factor representation carried in 20 codes scores ~6/20*0.9
+    = 0.27 because the 14 dead codes dilute relative-strength and EncDiff's
+    deterministic encoder ships no KL vector for filter_low_kl. Passing the
+    variance-activity proxy (scripts/udr_eval.py --activity variance)
+    restores the live-set score."""
+    from encdiff_tpu.evalx.udr import compute_udr
+
+    class _GT:
+        def sample_observations(self, b, rs):
+            return rs.randint(0, 2000, size=(b,))
+
+    rs = np.random.RandomState(0)
+    sig = rs.randn(2000, 6)
+
+    def mktable():
+        t = rs.randn(2000, 20) * 0.02          # dead codes: near-constant
+        cols = rs.permutation(20)[:6]
+        t[:, cols] = sig * (1 + 0.5 * rs.rand(6)) + 0.05 * rs.randn(2000, 6)
+        act = t.var(axis=0)
+        act = act / act.max()
+        return t, act
+
+    ta, aa = mktable()
+    tb, ab = mktable()
+
+    diluted = compute_udr(
+        _GT(), [lambda o: ta[o], lambda o: tb[o]],
+        np.random.RandomState(1), batch_size=100, num_data_points=1000,
+        correlation_matrix="lasso")
+    assert 0.2 < max(diluted["model_scores"]) < 0.4   # the 0.27 ceiling
+
+    filtered = compute_udr(
+        _GT(), [lambda o: (ta[o], aa), lambda o: (tb[o], ab)],
+        np.random.RandomState(1), batch_size=100, num_data_points=1000,
+        correlation_matrix="lasso")
+    assert min(filtered["model_scores"]) > 0.7
