@@ -863,21 +863,37 @@ class Trainer:
             reps = np.asarray(jax.device_get(u))[:n]
         else:
             bsh = batch_sharding(self.mesh)
-            steps = n // bs
-            if self.val_batches:
-                steps = min(steps, self.val_batches)
-            reps = []
             gather = getattr(val_ds, "batch_uint8", None)
-            order = np.arange(n)
+            if self.val_batches:
+                # quick-mode: keep the configured batch and cap the count
+                enc_bs, steps, n_used = bs, min(n // bs, self.val_batches), 0
+            else:
+                # full sweep over a host-resident dataset (e.g. the 1M-image
+                # MPI3D grid, above the 8 GB device-cache cap): use a large
+                # encode batch and cover the tail by clamping the last
+                # indices — every index 0..n-1 must be encoded, the metric
+                # battery looks reps up by raw dataset index
+                enc_bs = max(bs, 1024)
+                steps = -(-n // enc_bs)
+                n_used = n
+            reps_dev = []
             for i in range(steps):
-                idx = order[i * bs:(i + 1) * bs]
+                idx = np.minimum(np.arange(i * enc_bs, (i + 1) * enc_bs),
+                                 n - 1)
                 hb = gather(idx) if gather is not None else np.stack(
                     [np.asarray(val_ds[int(j)]["image"]) for j in idx])
-                u = encode_fn(self.state, jax.device_put(hb, bsh))
-                reps.append(np.asarray(jax.device_get(u)))
-            if not reps:
+                # no per-batch device_get: on a tunneled chip a synchronous
+                # fetch per batch serializes dispatch on the ~110 ms
+                # round-trip (BENCH_NOTES round-1 learning); queue the tiny
+                # (B, U) outputs and fetch once at the end
+                reps_dev.append(encode_fn(self.state,
+                                          jax.device_put(hb, bsh)))
+            if not reps_dev:
                 return {}
-            reps = np.concatenate(reps, axis=0)
+            reps = np.concatenate(
+                [np.asarray(jax.device_get(u)) for u in reps_dev], axis=0)
+            if n_used:
+                reps = reps[:n_used]
 
         from encdiff_tpu.evalx.eval_driver import eval_func
 
