@@ -5,7 +5,7 @@
 # faces_encdiff stage (chip must be idle).
 set -u
 cd /root/repo
-OUT=demo_artifacts/round3/faces
+OUT=${FACES_EVAL_OUT:-demo_artifacts/round3/faces}
 mkdir -p "$OUT"
 
 FLDM=$(ls -td runs_faces/*encdiff*/ 2>/dev/null | head -1 | sed 's:/$::')
