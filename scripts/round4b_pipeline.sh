@@ -75,9 +75,9 @@ preserve() {
 }
 
 V4VQ=$(ls -td runs_full/*v4vq*/ 2>/dev/null | head -1 | sed 's:/$::')
-V4H=$(ls -td runs_full/*v4hld*/ 2>/dev/null | head -1 | sed 's:/$::')
+V4H=$(ls -td runs_full/*v4base*/ 2>/dev/null | head -1 | sed 's:/$::')
 V4CFG=configs/demo/synthetic-shapes-v4-full-encdiff.yaml
-preserve "$V4H" v4h_run
+preserve "$V4H" v4purify_run
 
 # ---- phase B: fine-tune sweep on the v4h best checkpoint -------------------
 if [ -n "$V4H" ] && [ -d "$V4H/checkpoints" ]; then

@@ -53,7 +53,7 @@ bench_preview() {
 stage bench_preview 20 bench_preview
 
 # ---- 2. abstract reasoning to plateau (rep + oracle, equal budget) ---------
-V4H=$(ls -td runs_full/*v4hld*/ 2>/dev/null | head -1 | sed 's:/$::')
+V4H=$(ls -td runs_full/*v4base*/ 2>/dev/null | head -1 | sed 's:/$::')
 V4CFG=configs/demo/synthetic-shapes-v4-full-encdiff.yaml
 if [ -n "$V4H" ] && [ -d "$V4H/checkpoints" ]; then
   BEST=$(ls -d "$V4H"/checkpoints/best_dci_* 2>/dev/null | sort | tail -1)
