@@ -18,6 +18,21 @@ import numpy as np
 def load_model_variables(model, path: str) -> tuple[dict, float]:
     """Returns (variables, scale_factor). ``path`` is either a native orbax
     checkpoint directory or a torch .ckpt file."""
+    if os.path.isfile(path) and path.endswith(".npz"):
+        from encdiff_tpu.core.compact_ckpt import load_compact
+
+        tree = load_compact(path)
+        state, frozen = tree["state"], tree["frozen"]
+        ema = state.get("ema")
+        variables = {
+            "unet": {"params": state["params"]["unet"]},
+            "cond": {"params": state["params"]["cond"],
+                     "batch_stats": state.get("batch_stats") or {}},
+            "first_stage": frozen["first_stage"],
+            "ema": ema["params"] if isinstance(ema, dict) else None,
+        }
+        return variables, float(np.asarray(state["scale_factor"]))
+
     if os.path.isfile(path) and path.endswith(".ckpt"):
         from encdiff_tpu.core.torch_ldm_import import load_torch_ldm_checkpoint
 

@@ -269,9 +269,14 @@ class Trainer:
         import numpy as np
         from flax import serialization
 
-        from encdiff_tpu.core.checkpoints import restore_pytree
+        if str(path).endswith(".npz"):
+            from encdiff_tpu.core.compact_ckpt import load_compact
 
-        raw = restore_pytree(os.path.abspath(path), None)
+            raw = load_compact(path)
+        else:
+            from encdiff_tpu.core.checkpoints import restore_pytree
+
+            raw = restore_pytree(os.path.abspath(path), None)
 
         def normalize(x):
             # orbax (no target) restores tuples as lists; flax state dicts
