@@ -617,7 +617,7 @@ class Trainer:
                             self.image_logger.check_frequency(step):
                         if use_dev_data:
                             x = images_host[np.random.RandomState(step)
-                                            .randint(0, len(train_ds), 8)]
+                                            .randint(0, len(images_host), 8)]
                         else:
                             x = np.asarray(jax.device_get(batch))[:8]
                         xf = x.astype(np.float32) / 127.5 - 1.0 \
