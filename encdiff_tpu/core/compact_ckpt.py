@@ -88,6 +88,28 @@ def save_compact(path: str, state: Any, frozen: Any) -> str:
     return path
 
 
+def save_compact_vq(path: str, state: Any) -> str:
+    """Compact form of the VQ-GAN trainer's two-optimizer state: keeps
+    gen/disc params and batch stats, drops the Adam slots (gen_opt /
+    disc_opt). Loadable by ``VQModel.load_reference_checkpoint`` (the
+    ``.npz`` branch routes through the same gen_params merge as a native
+    orbax dir, including post_quant_conv widening)."""
+    def field(obj, name):
+        if isinstance(obj, dict):
+            return obj.get(name)
+        return getattr(obj, name, None)
+
+    tree = {"state": {
+        "gen_params": field(state, "gen_params"),
+        "disc_params": field(state, "disc_params") or {},
+        "disc_batch_stats": field(state, "disc_batch_stats") or {},
+        "loss_vars": field(state, "loss_vars") or {},
+        "step": np.asarray(field(state, "step") or 0),
+    }}
+    np.savez_compressed(path, **_flatten(tree))
+    return path
+
+
 def load_compact(path: str) -> dict:
     """Returns the nested {state, frozen} dict (float32 restored)."""
     with np.load(path) as z:

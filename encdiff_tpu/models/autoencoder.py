@@ -242,7 +242,7 @@ class VQModel:
         directory written by the VQ-GAN trainer."""
         import os
 
-        if os.path.isdir(path):
+        if os.path.isdir(path) or path.endswith(".npz"):
             return self._load_native_checkpoint(variables, path)
         from encdiff_tpu.core.checkpoints import load_torch_vq_checkpoint
         return load_torch_vq_checkpoint(
@@ -257,9 +257,12 @@ class VQModel:
 
         import numpy as np
 
-        from encdiff_tpu.core.checkpoints import restore_pytree
-
-        tree = restore_pytree(os.path.abspath(path), None)
+        if path.endswith(".npz"):
+            from encdiff_tpu.core.compact_ckpt import load_compact
+            tree = load_compact(path)
+        else:
+            from encdiff_tpu.core.checkpoints import restore_pytree
+            tree = restore_pytree(os.path.abspath(path), None)
         state = tree.get("state", tree)
         gen = state["gen_params"] if "gen_params" in state else state
         params = jax.tree.map(np.asarray, dict(variables["params"]))

@@ -260,6 +260,17 @@ class Trainer:
         tree = {"state": jax.device_get(self.state),
                 "frozen": jax.device_get(self.frozen)}
         save_pytree(os.path.abspath(path), tree)
+        # Reboot insurance (round-4 post-mortem: every gitignored orbax tree
+        # died with the VM, twice): mirror each save as one compact fp16
+        # npz next to the orbax dirs. ~80 MB, seconds to write, and both
+        # --resume_ckpt and every eval script accept it directly.
+        try:
+            from encdiff_tpu.core.compact_ckpt import save_compact
+
+            save_compact(os.path.join(self.ckptdir, "compact_last.npz"),
+                         tree["state"], tree["frozen"])
+        except Exception as e:  # never let insurance kill training
+            print(f"[harness] compact npz mirror failed: {e}")
 
     def restore_checkpoint(self, path):
         """Lenient restore (the reference's strict=False, ddpm_enc.py:204-220):
@@ -670,8 +681,15 @@ class Trainer:
 
         from encdiff_tpu.core.checkpoints import save_pytree
 
-        save_pytree(os.path.abspath(path),
-                    {"state": jax.device_get(self._vq_state)})
+        state = jax.device_get(self._vq_state)
+        save_pytree(os.path.abspath(path), {"state": state})
+        try:  # same reboot insurance as save_checkpoint
+            from encdiff_tpu.core.compact_ckpt import save_compact_vq
+
+            save_compact_vq(
+                os.path.join(self.ckptdir, "compact_last.npz"), state)
+        except Exception as e:
+            print(f"[harness] compact npz mirror failed: {e}")
 
     def _image_resolution(self):
         fs = self.model.first_stage_model
@@ -805,9 +823,12 @@ class Trainer:
         lc = to_plain(self.lightning_config) or {}
         logger_cfg = (lc.get("logger") or {}).get("params", {})
         meta = {
-            "name": logger_cfg.get("name"),
+            # VERDICT r4 weak #7: non-sweep runs have no WandB-style logger
+            # block, which left name/config null — fall back to the run dir
+            # name and the fully resolved config so artifacts self-describe.
+            "name": logger_cfg.get("name") or os.path.basename(self.logdir),
             "project": logger_cfg.get("project"),
-            "config": logger_cfg.get("config", {}),
+            "config": logger_cfg.get("config") or to_plain(self.config),
             "learning_rate": self.learning_rate,
             "base_learning_rate": self.base_lr,
             "batch_size": self.batch_size,

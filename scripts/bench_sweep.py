@@ -73,7 +73,7 @@ def main(argv=None):
             w.writerows(rows)
 
     for dtype in opt.dtypes.split(","):
-        for bs in [int(x) for x in opt.train_batches.split(",")]:
+        for bs in [int(x) for x in opt.train_batches.split(",") if x]:
             for cached in ([1, 0] if opt.cached_variants else [1]):
                 cfg = {"BENCH_BATCH": bs, "BENCH_DTYPE": dtype,
                        "BENCH_DDIM": 0, "BENCH_ITERS": opt.iters,
@@ -81,7 +81,7 @@ def main(argv=None):
                 emit("train", {"batch": bs, "dtype": dtype,
                                "cached": cached}, run_bench(cfg))
 
-    if opt.fused:
+    if opt.fused and opt.train_batches:
         bs0 = int(opt.train_batches.split(",")[0])
         for fuse in opt.fused.split(","):
             cfg = {"BENCH_BATCH": bs0, "BENCH_DTYPE": opt.dtypes.split(",")[0],

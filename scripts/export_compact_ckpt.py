@@ -26,14 +26,24 @@ def main():
     ap.add_argument("-r", "--ckpt", required=True,
                     help="orbax checkpoint dir (e.g. <run>/checkpoints/last)")
     ap.add_argument("--out", required=True, help="output .npz path")
+    ap.add_argument("--slim", action="store_true",
+                    help="drop the EMA parameter copy (halves LDM archives; "
+                         "raw params reproduce the in-training eval metrics)")
     args = ap.parse_args()
 
     from encdiff_tpu.core.checkpoints import restore_pytree
-    from encdiff_tpu.core.compact_ckpt import save_compact
+    from encdiff_tpu.core.compact_ckpt import save_compact, save_compact_vq
 
     tree = restore_pytree(os.path.abspath(args.ckpt))
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
-    save_compact(args.out, tree["state"], tree["frozen"])
+    state = tree.get("state", tree)
+    if "gen_params" in state:
+        # VQ-GAN trainer layout (gen/disc two-optimizer state)
+        save_compact_vq(args.out, state)
+    else:
+        if args.slim and isinstance(state, dict):
+            state = {k: v for k, v in state.items() if k != "ema"}
+        save_compact(args.out, state, tree["frozen"])
     mb = os.path.getsize(args.out) / 1e6
     print(f"[export] {args.out} ({mb:.1f} MB) from {args.ckpt}")
 

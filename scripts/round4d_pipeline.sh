@@ -7,7 +7,7 @@
 #   2. cars_encdiff — Cars3D EncDiff LDM, 8 epochs, eval every 2, post-fit
 #                     full reference protocol (DCI 10k/5k GBT etc.)
 #   3. preserve     — metric JSONs + swap grid -> demo_artifacts/round4
-#   4. mpi chain    — only if >=18 min remain at cars completion: VQ 1 epoch
+#   4. mpi chain    — only if >=34 min remain at cars completion: VQ 1 epoch
 #                     on a stride-subsampled grid + LDM 2 epochs on the full
 #                     1,036,800-image grid with one eval (liveness + first
 #                     cross-dataset numbers on the 7-factor structure)
