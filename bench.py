@@ -338,9 +338,14 @@ def main():
                 train_flops / train_bytes, 2)
 
     # --- DDIM sampling + VQ decode (north star #2) ---
+    # BENCH_SAMPLER=plms swaps the scan for the PLMS multistep sampler
+    # (diffusion/plms.py) — same protocol shape, one extra bench row for
+    # the sampler-throughput table (VERDICT r4 #9).
+    SAMPLER = os.environ.get("BENCH_SAMPLER", "ddim")
     if DO_DDIM:
         from encdiff_tpu.core.schedules import DDIMSchedule
         from encdiff_tpu.diffusion import ddim as ddim_lib
+        from encdiff_tpu.diffusion import plms as plms_lib
 
         cond_vars = {"params": state.params["cond"],
                      "batch_stats": state.batch_stats}
@@ -362,7 +367,10 @@ def main():
                      model.channels)
             denoise = lambda x, t: model.apply_model(
                 {"params": unet_params}, x, t, tokens)
-            z, _ = ddim_lib.ddim_sample(dsched, denoise, shape, rng)
+            if SAMPLER == "plms":
+                z = plms_lib.plms_sample(dsched, denoise, shape, rng)
+            else:
+                z, _ = ddim_lib.ddim_sample(dsched, denoise, shape, rng)
             return model.decode_first_stage(fs_vars, z, scale_factor=1.0)
 
         sample_jit = jax.jit(sample_fn)
@@ -389,6 +397,8 @@ def main():
         ddt = time.perf_counter() - t0
         extra["ddim_steps"] = DDIM_STEPS
         extra["sample_batch"] = SAMPLE_BATCH
+        if SAMPLER != "ddim":
+            extra["sampler"] = SAMPLER
         extra["ddim200_samples_per_s"] = round(
             SAMPLE_ITERS * SAMPLE_BATCH / ddt, 1)
         _mark("ddim_done",
@@ -497,7 +507,7 @@ def main():
         }
     else:  # DDIM-only sweep run
         rec = {
-            "metric": f"encdiff_ddim{DDIM_STEPS}_sampling_bs{SAMPLE_BATCH}",
+            "metric": f"encdiff_{SAMPLER}{DDIM_STEPS}_sampling_bs{SAMPLE_BATCH}",
             "value": extra.get("ddim200_samples_per_s", 0.0),
             "unit": "samples/sec/chip",
             "vs_baseline": 1.0,

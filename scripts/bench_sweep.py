@@ -94,19 +94,23 @@ def main(argv=None):
         steps, sbatch = int(parts[0]), int(parts[1])
         # optional extra tokens: "bf16p" (cast weights to bf16 before the
         # scan — the HBM-roofline byte lever) or an ENCDIFF_PALLAS value
-        pallas, bf16p = None, False
+        pallas, bf16p, sampler = None, False, "ddim"
         for tok in parts[2:]:
             if tok == "bf16p":
                 bf16p = True
+            elif tok == "plms":
+                sampler = "plms"
             else:
                 pallas = tok
         cfg = {"BENCH_TRAIN": 0, "BENCH_DDIM_STEPS": steps,
-               "BENCH_SAMPLE_BATCH": sbatch, "BENCH_BATCH": 128}
+               "BENCH_SAMPLE_BATCH": sbatch, "BENCH_BATCH": 128,
+               "BENCH_SAMPLER": sampler, "BENCH_DDIM50": 0}
         if pallas:
             cfg["ENCDIFF_PALLAS"] = pallas
         if bf16p:
             cfg["BENCH_BF16_PARAMS"] = 1
         emit("ddim", {"ddim_steps": steps, "sample_batch": sbatch,
+                      "sampler": sampler,
                       "pallas": pallas or "", "bf16p": int(bf16p)},
              run_bench(cfg))
 
