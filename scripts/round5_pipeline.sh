@@ -93,8 +93,13 @@ preserve() {
 }
 
 export_npz() {  # export_npz <ckpt_dir> <out.npz> [--slim]
-  JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS= \
-    python scripts/export_compact_ckpt.py -r "$1" --out "$2" "${3:-}"
+  if [ -n "${3:-}" ]; then
+    JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS= \
+      python scripts/export_compact_ckpt.py -r "$1" --out "$2" "$3"
+  else
+    JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS= \
+      python scripts/export_compact_ckpt.py -r "$1" --out "$2"
+  fi
 }
 
 # ---- 0. MPI3D render cache (pure host, ~6 min, no chip) ---------------------
