@@ -114,3 +114,29 @@ def _leaves(tree):
             yield from _leaves(v)
     else:
         yield tree
+
+
+def test_compact_vq_roundtrip_and_first_stage_load(tmp_path):
+    """save_compact_vq drops the Adam slots and the npz loads back through
+    VQModel.load_reference_checkpoint's .npz branch (round-5: VQ stages get
+    the same reboot insurance as LDM states)."""
+    from encdiff_tpu.core.compact_ckpt import load_compact, save_compact_vq
+
+    state = {
+        "gen_params": {"encoder": {
+            "w": np.arange(8, dtype=np.float32).reshape(2, 4)}},
+        "disc_params": {"d": np.full((3,), 0.5, np.float32)},
+        "disc_batch_stats": {"d": {"mean": np.zeros((3,), np.float32)}},
+        "gen_opt": {"mu": np.ones((2, 4), np.float32)},   # must be dropped
+        "disc_opt": {"nu": np.ones((3,), np.float32)},    # must be dropped
+        "loss_vars": {},
+        "step": np.int64(7),
+    }
+    path = os.path.join(str(tmp_path), "vq.npz")
+    save_compact_vq(path, state)
+    tree = load_compact(path)["state"]
+    assert "gen_opt" not in tree and "disc_opt" not in tree
+    np.testing.assert_allclose(
+        tree["gen_params"]["encoder"]["w"],
+        state["gen_params"]["encoder"]["w"], rtol=1e-3)
+    assert int(tree["step"]) == 7
