@@ -126,7 +126,19 @@ def nondefault_trainer_args(opt):
 def load_configs(bases, cli_overrides):
     from encdiff_tpu.core.yamlcfg import OmegaConf
 
-    configs = [OmegaConf.load(b) for b in bases]
+    # A resumed run globs the logdir's dumped configs, which include the
+    # SetupCallback's ``*-lightning.yaml`` — dumped WITHOUT the top-level
+    # ``lightning:`` wrapper (reference dump style, main_val.py:359-364).
+    # Merging it bare used to land ``callbacks:``/``trainer:`` at the top
+    # of the model config, so ``config.pop("lightning")`` came back empty
+    # and every resumed run silently lost its ModelCheckpoint / ImageLogger
+    # callbacks (round-5 purify post-mortem). Re-wrap them on load.
+    configs = []
+    for b in bases:
+        cfg = OmegaConf.load(b)
+        if str(b).endswith("-lightning.yaml") and "lightning" not in cfg:
+            cfg = OmegaConf.create({"lightning": cfg})
+        configs.append(cfg)
     cli = OmegaConf.from_dotlist(cli_overrides)
     return OmegaConf.merge(*configs, cli)
 
