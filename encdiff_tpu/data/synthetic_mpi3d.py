@@ -227,4 +227,24 @@ class SyntheticMPI3DFull(ArrayDataset):
 
 
 class SyntheticMPI3DFullTrain(SyntheticMPI3DFull):
-    pass
+    """Training view of the grid. ``subset_frac`` draws a seeded uniform
+    random subset of the 1,036,800 combinations (materialized contiguous,
+    so a 0.25 subset is 3.2 GB — under the harness's 8 GB device-resident
+    gate and trainable at full cached-latent step rate on one chip, where
+    the 12.7 GB full grid would fall back to host streaming on this box's
+    single CPU). Uniform sampling keeps every factor level represented
+    (unlike a strided slice, which aliases the last 40-level DOF). The
+    reference trains on the full grid (``ldm/data/disdata.py:244-283``);
+    evals here always use the full ground-truth table, so only the
+    training-set size changes."""
+
+    def __init__(self, image_size: int = 64, factor_sizes=None,
+                 subset_frac: float = 1.0, subset_seed: int = 0, **kwargs):
+        super().__init__(image_size, factor_sizes, **kwargs)
+        if subset_frac < 1.0:
+            n = len(self.images)
+            k = int(n * subset_frac)
+            sel = np.sort(np.random.default_rng(subset_seed).choice(
+                n, size=k, replace=False))
+            self.images = np.ascontiguousarray(self.images[sel])
+            self.length = k
