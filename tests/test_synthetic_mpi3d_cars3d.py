@@ -194,3 +194,26 @@ def test_configs_instantiate():
         assert model.label_dataset is not None
         n = (17_568 if "cars3d" in path else 1_036_800)
         assert model.label_dataset.images.shape[0] == n
+
+
+def test_mpi3d_train_subset_is_seeded_uniform(tmp_path, monkeypatch):
+    """subset_frac draws a seeded uniform subset (not a strided slice that
+    would alias the last 40-level DOF), shrinks length/images accordingly,
+    and is reproducible across constructions."""
+    monkeypatch.setenv("ENCDIFF_DATA_CACHE", str(tmp_path))
+    from encdiff_tpu.data import synthetic_mpi3d as m
+
+    m._CACHE.clear()
+    a = m.SyntheticMPI3DFullTrain(image_size=32, factor_sizes=MPI_TINY,
+                                  subset_frac=0.5, subset_seed=3)
+    b = m.SyntheticMPI3DFullTrain(image_size=32, factor_sizes=MPI_TINY,
+                                  subset_frac=0.5, subset_seed=3)
+    full = m.SyntheticMPI3DFull(image_size=32, factor_sizes=MPI_TINY)
+    n = int(np.prod(MPI_TINY))
+    assert len(a) == n // 2 and len(full) == n
+    assert np.array_equal(a.images, b.images)
+    # uniform over the grid: both halves of the flattened index represented
+    sel = np.sort(np.random.default_rng(3).choice(n, n // 2, replace=False))
+    assert np.array_equal(a.images, np.asarray(full.images)[sel])
+    assert a.images.flags["C_CONTIGUOUS"]
+    m._CACHE.clear()
